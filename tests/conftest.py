@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding is tested on virtual CPU devices per SURVEY.md §4 —
+the reference has no multi-node test story at all; we compile and execute
+real mesh-sharded programs on one host via
+``xla_force_host_platform_device_count``.
+
+Note: the environment's axon sitecustomize pins ``JAX_PLATFORMS=axon``
+(the tunneled TPU) and prepends itself even when the env var is
+overridden, so we must force the platform through ``jax.config`` before
+any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

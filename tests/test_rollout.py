@@ -1,0 +1,193 @@
+"""Rollout scan: ODE exactness, SDE log-probs, window masking, Flash padding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixgrpo_tpu.solvers.rollout import SamplerConfig, run_rollout
+from mixgrpo_tpu.solvers.schedule import (
+    deterministic_mask,
+    flash_post_schedule,
+    sigma_schedule,
+)
+
+
+def _exact_model_fn(x0, eps):
+    """Exact rectified-flow velocity: v = eps - x0, independent of (z, sigma)."""
+    v = jnp.asarray(eps - x0)
+    return lambda z, sigma: v
+
+
+def test_ode_rollout_exact():
+    """Euler on a linear (rectified) path is exact: final latents == x0."""
+    T = 25
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(2, 16)).astype(np.float32)
+    eps = rng.normal(size=(2, 16)).astype(np.float32)
+    sig = jnp.asarray(sigma_schedule(T, 3.0))
+    cfg = SamplerConfig(num_steps_max=T, eta=0.7, flow_grpo_sampling=True)
+    out = run_rollout(
+        cfg, _exact_model_fn(x0, eps), jnp.asarray(eps),
+        sigmas=sig, deterministic=jnp.ones(T, bool), num_steps=T,
+        rng=jax.random.key(0),
+    )
+    np.testing.assert_allclose(np.asarray(out.final_latents), x0, rtol=1e-3, atol=1e-4)
+    assert out.all_latents.shape == (2, T + 1, 16)
+    assert out.all_log_probs.shape == (2, T)
+    assert np.asarray(out.step_valid).all()
+
+
+def test_window_sde_steps_differ_and_have_logprobs():
+    T = 25
+    rng = np.random.default_rng(1)
+    x0 = rng.normal(size=(1, 16)).astype(np.float32)
+    eps = rng.normal(size=(1, 16)).astype(np.float32)
+    sig = jnp.asarray(sigma_schedule(T, 3.0))
+    det = jnp.asarray(deterministic_mask(T, [10, 11, 12, 13]))
+    cfg = SamplerConfig(num_steps_max=T)
+    fn = _exact_model_fn(x0, eps)
+    key = jax.random.key(42)
+
+    out = run_rollout(cfg, fn, jnp.asarray(eps), sigmas=sig,
+                      deterministic=det, num_steps=T, rng=key)
+    ode = run_rollout(cfg, fn, jnp.asarray(eps), sigmas=sig,
+                      deterministic=jnp.ones(T, bool), num_steps=T, rng=key)
+    # trajectories identical before the window, diverge at the window
+    np.testing.assert_allclose(
+        np.asarray(out.all_latents[:, :11]), np.asarray(ode.all_latents[:, :11]),
+        rtol=1e-5,
+    )
+    assert not np.allclose(
+        np.asarray(out.all_latents[:, 11]), np.asarray(ode.all_latents[:, 11])
+    )
+    lp = np.asarray(out.all_log_probs)
+    assert np.isfinite(lp).all()
+
+
+def test_rollout_jit_window_is_data():
+    """Moving the window must not retrigger compilation."""
+    T = 10
+    rng = np.random.default_rng(2)
+    x0 = rng.normal(size=(1, 8)).astype(np.float32)
+    eps = rng.normal(size=(1, 8)).astype(np.float32)
+    sig = jnp.asarray(sigma_schedule(T, 3.0))
+    cfg = SamplerConfig(num_steps_max=T)
+    fn = _exact_model_fn(x0, eps)
+
+    @jax.jit
+    def roll(det, key):
+        return run_rollout(cfg, fn, jnp.asarray(eps), sigmas=sig,
+                           deterministic=det, num_steps=T, rng=key)
+
+    d1 = jnp.asarray(deterministic_mask(T, [2, 3]))
+    d2 = jnp.asarray(deterministic_mask(T, [6, 7]))
+    r1 = roll(d1, jax.random.key(0))
+    r2 = roll(d2, jax.random.key(0))
+    assert roll._cache_size() == 1
+    assert not np.allclose(np.asarray(r1.all_latents), np.asarray(r2.all_latents))
+
+
+def test_flash_compressed_ode_rollout_exact():
+    """Pure-ODE rollout over a Flash-compressed, padded schedule is exact.
+
+    deterministic all-True makes every step take the DPM tail path
+    (last_sde_index = -1), so this checks the in-scan multistep DPM solver
+    plus the padding no-op region.
+    """
+    T = 25
+    rng = np.random.default_rng(3)
+    x0 = rng.normal(size=(1, 16)).astype(np.float32)
+    eps = rng.normal(size=(1, 16)).astype(np.float32)
+    base = sigma_schedule(T, 3.0)
+    det = deterministic_mask(T, [10, 11, 12, 13])
+    sig_c, n, _ = flash_post_schedule(base, det, 3.0, 0.4, pad_to=T)
+
+    cfg = SamplerConfig(
+        num_steps_max=T, dpm_algorithm_type="dpmsolver++",
+        dpm_apply_strategy="post", dpm_solver_order=2,
+        dpm_solver_type="midpoint",
+    )
+    fn = _exact_model_fn(x0, eps)
+    out = run_rollout(cfg, fn, jnp.asarray(eps), sigmas=jnp.asarray(sig_c),
+                      deterministic=jnp.ones(T, bool), num_steps=n,
+                      rng=jax.random.key(7))
+    np.testing.assert_allclose(np.asarray(out.final_latents), x0, rtol=2e-3, atol=2e-4)
+    lat = np.asarray(out.all_latents)
+    assert np.abs(lat[:, n:] - lat[:, n : n + 1]).max() == 0.0
+    np.testing.assert_allclose(np.asarray(out.all_log_probs)[:, n:], 0.0)
+    assert np.asarray(out.step_valid).sum() == n
+
+
+def test_flash_sde_window_rollout():
+    """Flash post strategy with a live SDE window: finite, padded no-ops,
+    and the pre-window prefix matches a pure-ODE run."""
+    T = 25
+    rng = np.random.default_rng(8)
+    x0 = rng.normal(size=(1, 16)).astype(np.float32)
+    eps = rng.normal(size=(1, 16)).astype(np.float32)
+    base = sigma_schedule(T, 3.0)
+    det = deterministic_mask(T, [10, 11, 12, 13])
+    sig_c, n, det_c = flash_post_schedule(base, det, 3.0, 0.4, pad_to=T)
+
+    cfg = SamplerConfig(
+        num_steps_max=T, dpm_algorithm_type="dpmsolver++",
+        dpm_apply_strategy="post", dpm_solver_order=2,
+        dpm_solver_type="midpoint",
+    )
+    fn = _exact_model_fn(x0, eps)
+    key = jax.random.key(9)
+    out = run_rollout(cfg, fn, jnp.asarray(eps), sigmas=jnp.asarray(sig_c),
+                      deterministic=jnp.asarray(det_c), num_steps=n, rng=key)
+    ode = run_rollout(cfg, fn, jnp.asarray(eps), sigmas=jnp.asarray(sig_c),
+                      deterministic=jnp.ones(T, bool), num_steps=n, rng=key)
+    assert np.isfinite(np.asarray(out.all_latents)).all()
+    np.testing.assert_allclose(
+        np.asarray(out.all_latents[:, :11]), np.asarray(ode.all_latents[:, :11]),
+        rtol=1e-4, atol=1e-6,
+    )
+    # SDE window steps carry finite log-probs
+    lp = np.asarray(out.all_log_probs)
+    assert np.isfinite(lp).all()
+    np.testing.assert_allclose(lp[:, n:], 0.0)
+    lat = np.asarray(out.all_latents)
+    assert np.abs(lat[:, n:] - lat[:, n : n + 1]).max() == 0.0
+
+
+def test_dance_rollout_runs():
+    T = 10
+    rng = np.random.default_rng(4)
+    x0 = rng.normal(size=(1, 8)).astype(np.float32)
+    eps = rng.normal(size=(1, 8)).astype(np.float32)
+    sig = jnp.asarray(sigma_schedule(T, 3.0))
+    det = jnp.asarray(deterministic_mask(T, [4, 5]))
+    cfg = SamplerConfig(num_steps_max=T, flow_grpo_sampling=False)
+    out = run_rollout(cfg, _exact_model_fn(x0, eps), jnp.asarray(eps),
+                      sigmas=sig, deterministic=det, num_steps=T,
+                      rng=jax.random.key(0))
+    assert np.isfinite(np.asarray(out.all_latents)).all()
+    assert np.isfinite(np.asarray(out.all_log_probs)).all()
+
+
+def test_dpm_all_strategy_rollout():
+    T = 12
+    rng = np.random.default_rng(5)
+    x0 = rng.normal(size=(1, 8)).astype(np.float32)
+    eps = rng.normal(size=(1, 8)).astype(np.float32)
+    sig = jnp.asarray(sigma_schedule(T, 3.0))
+    det = jnp.asarray(deterministic_mask(T, [4, 5, 6, 7]))
+    cfg = SamplerConfig(
+        num_steps_max=T, dpm_algorithm_type="dpmsolver++",
+        dpm_apply_strategy="all", dpm_solver_order=2,
+    )
+    # pure ODE: exact on the linear path
+    out = run_rollout(cfg, _exact_model_fn(x0, eps), jnp.asarray(eps),
+                      sigmas=sig, deterministic=jnp.ones(T, bool), num_steps=T,
+                      rng=jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(out.final_latents), x0, rtol=5e-3, atol=5e-4)
+    # with an SDE window the trajectory leaves the exact path (the constant
+    # "exact" velocity no longer points at x0) — just check finiteness
+    out = run_rollout(cfg, _exact_model_fn(x0, eps), jnp.asarray(eps),
+                      sigmas=sig, deterministic=det, num_steps=T,
+                      rng=jax.random.key(0))
+    assert np.isfinite(np.asarray(out.all_latents)).all()
+    assert np.isfinite(np.asarray(out.all_log_probs)).all()
