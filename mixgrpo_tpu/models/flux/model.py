@@ -1,0 +1,299 @@
+"""FLUX.1-style MMDiT policy model, pure-functional JAX.
+
+Rebuild target #1 (SURVEY.md §2.2): the diffusers ``FluxTransformer2DModel``
+policy used by the reference trainer (zqqqqz2000/MixGRPO
+fastvideo/train_grpo_flux.py:58,677-692).  Architecture pinned by the
+reference's in-tree MMDiT exemplar (fastvideo/models/hunyuan/modules/
+models.py:23-369,620-680 — double/single stream blocks, adaLN factors 6/3,
+RoPE over (id, h, w) ids, guidance embedding) and FLUX.1-dev HF config:
+hidden 3072, 24 heads x 128, 19 double + 38 single blocks, in 64 channels
+(16 latent ch x 2x2 packing), axes_dims (16, 56, 56), guidance-distilled.
+
+TPU-first design choices (vs the reference's per-block Python modules):
+  - The 19 double and 38 single blocks are **stacked** along a leading axis
+    and executed with ``lax.scan`` — one traced block body each, small HLO,
+    fast compiles, and a natural remat boundary per block
+    (``jax.checkpoint`` when ``remat=True``, replacing torch selective
+    activation checkpointing, fastvideo/utils/fsdp_util.py:26-53).
+  - RoPE cos/sin tables are precomputed per resolution outside the rollout
+    scan and passed in (the reference recomputes them inside every forward).
+  - QKV/MLP projections for the single blocks are fused into one matmul
+    (matching the exemplar's fused linear1/linear2, models.py:280-284).
+  - fp32 master params, bf16 compute; softmax/norm statistics in fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mixgrpo_tpu.models.flux import layers as L
+from mixgrpo_tpu.models.flux.rope import apply_rope
+from mixgrpo_tpu.ops.attention import attention
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    in_channels: int = 64
+    hidden_size: int = 3072
+    num_heads: int = 24
+    depth_double: int = 19
+    depth_single: int = 38
+    mlp_ratio: float = 4.0
+    axes_dims: tuple = (16, 56, 56)
+    pooled_dim: int = 768
+    context_dim: int = 4096
+    guidance_embeds: bool = True
+    time_freq_dim: int = 256
+    theta: float = 10000.0
+    eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.hidden_size * self.mlp_ratio)
+
+    @classmethod
+    def flux_dev(cls) -> "FluxConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls, **kw) -> "FluxConfig":
+        """Small config for tests/benchmarks (structure-identical)."""
+        d = dict(
+            in_channels=16, hidden_size=128, num_heads=4, depth_double=2,
+            depth_single=4, pooled_dim=32, context_dim=64,
+            axes_dims=(8, 12, 12), time_freq_dim=32,
+        )
+        d.update(kw)
+        return cls(**d)
+
+
+# ----------------------------------------------------------------------------
+# init
+# ----------------------------------------------------------------------------
+
+
+def _double_block_init(key, cfg: FluxConfig) -> Dict[str, Any]:
+    h, hd = cfg.hidden_size, cfg.head_dim
+    ks = jax.random.split(key, 12)
+    return {
+        "img_mod": L.modulation_init(ks[0], h, 6),
+        "txt_mod": L.modulation_init(ks[1], h, 6),
+        "img_qkv": L.linear_init(ks[2], h, 3 * h),
+        "txt_qkv": L.linear_init(ks[3], h, 3 * h),
+        "img_qnorm": jnp.ones((hd,), jnp.float32),
+        "img_knorm": jnp.ones((hd,), jnp.float32),
+        "txt_qnorm": jnp.ones((hd,), jnp.float32),
+        "txt_knorm": jnp.ones((hd,), jnp.float32),
+        "img_attn_out": L.linear_init(ks[4], h, h),
+        "txt_attn_out": L.linear_init(ks[5], h, h),
+        "img_mlp_in": L.linear_init(ks[6], h, cfg.mlp_hidden),
+        "img_mlp_out": L.linear_init(ks[7], cfg.mlp_hidden, h),
+        "txt_mlp_in": L.linear_init(ks[8], h, cfg.mlp_hidden),
+        "txt_mlp_out": L.linear_init(ks[9], cfg.mlp_hidden, h),
+    }
+
+
+def _single_block_init(key, cfg: FluxConfig) -> Dict[str, Any]:
+    h, hd, mh = cfg.hidden_size, cfg.head_dim, cfg.mlp_hidden
+    ks = jax.random.split(key, 3)
+    return {
+        "mod": L.modulation_init(ks[0], h, 3),
+        # fused [qkv | mlp_in] and [attn_out | mlp_out]
+        "linear1": L.linear_init(ks[1], h, 3 * h + mh),
+        "linear2": L.linear_init(ks[2], h + mh, h),
+        "qnorm": jnp.ones((hd,), jnp.float32),
+        "knorm": jnp.ones((hd,), jnp.float32),
+    }
+
+
+def init_flux(key, cfg: FluxConfig) -> Dict[str, Any]:
+    ks = jax.random.split(key, 10)
+    h = cfg.hidden_size
+    params = {
+        "x_embedder": L.linear_init(ks[0], cfg.in_channels, h),
+        "context_embedder": L.linear_init(ks[1], cfg.context_dim, h),
+        "time_in": L.mlp_embedder_init(ks[2], cfg.time_freq_dim, h),
+        "vector_in": L.mlp_embedder_init(ks[3], cfg.pooled_dim, h),
+        "final_mod": L.modulation_init(ks[5], h, 2),
+        "proj_out": L.linear_init(ks[6], h, cfg.in_channels),
+    }
+    if cfg.guidance_embeds:
+        params["guidance_in"] = L.mlp_embedder_init(ks[4], cfg.time_freq_dim, h)
+
+    dkeys = jax.random.split(ks[7], cfg.depth_double)
+    skeys = jax.random.split(ks[8], cfg.depth_single)
+    params["double"] = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[_double_block_init(k, cfg) for k in dkeys]
+    )
+    params["single"] = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[_single_block_init(k, cfg) for k in skeys]
+    )
+    return params
+
+
+# ----------------------------------------------------------------------------
+# blocks
+# ----------------------------------------------------------------------------
+
+
+def _split_heads(x, num_heads):
+    b, s, _ = x.shape
+    return x.reshape(b, s, num_heads, -1).transpose(0, 2, 1, 3)  # (B,H,S,D)
+
+
+def _merge_heads(x):
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _qk_norm(q, k, qscale, kscale, eps):
+    return L.rms_norm(q, qscale, eps), L.rms_norm(k, kscale, eps)
+
+
+def _double_block(p, cfg: FluxConfig, img, txt, vec, rope_cos, rope_sin,
+                  attn_impl, dtype):
+    """Double-stream MMDiT block (exemplar models.py:23-246)."""
+    H, eps = cfg.num_heads, cfg.eps
+    i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2 = L.modulation(
+        p["img_mod"], vec, 6, dtype
+    )
+    t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2 = L.modulation(
+        p["txt_mod"], vec, 6, dtype
+    )
+
+    img_mod = L.modulate(L.layer_norm(img, eps), i_shift1, i_scale1)
+    txt_mod = L.modulate(L.layer_norm(txt, eps), t_shift1, t_scale1)
+
+    iq, ik, iv = jnp.split(L.linear(p["img_qkv"], img_mod, dtype), 3, axis=-1)
+    tq, tk, tv = jnp.split(L.linear(p["txt_qkv"], txt_mod, dtype), 3, axis=-1)
+    iq, ik, iv = (_split_heads(x, H) for x in (iq, ik, iv))
+    tq, tk, tv = (_split_heads(x, H) for x in (tq, tk, tv))
+    iq, ik = _qk_norm(iq, ik, p["img_qnorm"], p["img_knorm"], eps)
+    tq, tk = _qk_norm(tq, tk, p["txt_qnorm"], p["txt_knorm"], eps)
+
+    # joint sequence: [text | image] (diffusers FLUX ordering)
+    q = jnp.concatenate([tq, iq], axis=2)
+    k = jnp.concatenate([tk, ik], axis=2)
+    v = jnp.concatenate([tv, iv], axis=2)
+    q = apply_rope(q, rope_cos, rope_sin)
+    k = apply_rope(k, rope_cos, rope_sin)
+
+    out = _merge_heads(attention(q, k, v, impl=attn_impl))
+    Lt = txt.shape[1]
+    txt_attn, img_attn = out[:, :Lt], out[:, Lt:]
+
+    img = img + i_gate1[:, None, :] * L.linear(p["img_attn_out"], img_attn, dtype)
+    txt = txt + t_gate1[:, None, :] * L.linear(p["txt_attn_out"], txt_attn, dtype)
+
+    img_mlp = L.modulate(L.layer_norm(img, eps), i_shift2, i_scale2)
+    img = img + i_gate2[:, None, :] * L.linear(
+        p["img_mlp_out"], L.gelu_tanh(L.linear(p["img_mlp_in"], img_mlp, dtype)), dtype
+    )
+    txt_mlp = L.modulate(L.layer_norm(txt, eps), t_shift2, t_scale2)
+    txt = txt + t_gate2[:, None, :] * L.linear(
+        p["txt_mlp_out"], L.gelu_tanh(L.linear(p["txt_mlp_in"], txt_mlp, dtype)), dtype
+    )
+    return img, txt
+
+
+def _single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl, dtype):
+    """Single-stream block with fused projections (exemplar models.py:248-369)."""
+    H, h, mh, eps = cfg.num_heads, cfg.hidden_size, cfg.mlp_hidden, cfg.eps
+    shift, scale, gate = L.modulation(p["mod"], vec, 3, dtype)
+    x_mod = L.modulate(L.layer_norm(x, eps), shift, scale)
+
+    proj = L.linear(p["linear1"], x_mod, dtype)
+    qkv, mlp = proj[..., : 3 * h], proj[..., 3 * h :]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (_split_heads(t, H) for t in (q, k, v))
+    q, k = _qk_norm(q, k, p["qnorm"], p["knorm"], eps)
+    q = apply_rope(q, rope_cos, rope_sin)
+    k = apply_rope(k, rope_cos, rope_sin)
+
+    attn_out = _merge_heads(attention(q, k, v, impl=attn_impl))
+    out = L.linear(
+        p["linear2"], jnp.concatenate([attn_out, L.gelu_tanh(mlp)], axis=-1), dtype
+    )
+    return x + gate[:, None, :] * out
+
+
+# ----------------------------------------------------------------------------
+# forward
+# ----------------------------------------------------------------------------
+
+
+def flux_forward(
+    params: Dict[str, Any],
+    cfg: FluxConfig,
+    img: jnp.ndarray,  # (B, L_img, in_channels) packed latents
+    txt: jnp.ndarray,  # (B, L_txt, context_dim) T5 embeddings
+    pooled: jnp.ndarray,  # (B, pooled_dim) CLIP pooled embedding
+    timestep: jnp.ndarray,  # (B,) in [0, 1]
+    guidance: Optional[jnp.ndarray],  # (B,) guidance scale (e.g. 3.5)
+    rope_cos: jnp.ndarray,  # (L_txt + L_img, head_dim)
+    rope_sin: jnp.ndarray,
+    *,
+    dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Predict rectified-flow velocity for packed image tokens.
+
+    Mirrors the reference call contract (fastvideo/train_grpo_flux.py:134-144):
+    timestep/guidance are scaled by 1000 internally before sinusoidal
+    embedding, conditioning vec = time + guidance + pooled projections.
+    """
+    x = L.linear(params["x_embedder"], img, dtype)
+    c = L.linear(params["context_embedder"], txt, dtype)
+
+    vec = L.mlp_embedder(
+        params["time_in"],
+        L.timestep_embedding(timestep * 1000.0, cfg.time_freq_dim),
+        dtype,
+    )
+    if cfg.guidance_embeds:
+        assert guidance is not None, "guidance-distilled model needs guidance"
+        vec = vec + L.mlp_embedder(
+            params["guidance_in"],
+            L.timestep_embedding(guidance * 1000.0, cfg.time_freq_dim),
+            dtype,
+        )
+    vec = vec + L.mlp_embedder(params["vector_in"], pooled, dtype)
+
+    rope_cos = rope_cos.astype(jnp.float32)
+    rope_sin = rope_sin.astype(jnp.float32)
+
+    def double_body(carry, p):
+        img_h, txt_h = carry
+        img_h, txt_h = _double_block(
+            p, cfg, img_h, txt_h, vec, rope_cos, rope_sin, attn_impl, dtype
+        )
+        return (img_h, txt_h), None
+
+    def single_body(x_h, p):
+        return _single_block(p, cfg, x_h, vec, rope_cos, rope_sin, attn_impl, dtype), None
+
+    if remat:
+        double_body = jax.checkpoint(double_body, prevent_cse=False)
+        single_body = jax.checkpoint(single_body, prevent_cse=False)
+
+    (x, c), _ = jax.lax.scan(double_body, (x, c), params["double"])
+    joint = jnp.concatenate([c, x], axis=1)
+    joint, _ = jax.lax.scan(single_body, joint, params["single"])
+    x = joint[:, c.shape[1] :]
+
+    scale, shift = L.modulation(params["final_mod"], vec, 2, dtype)
+    x = L.modulate(L.layer_norm(x, cfg.eps), shift, scale)
+    return L.linear(params["proj_out"], x, dtype).astype(jnp.float32)
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

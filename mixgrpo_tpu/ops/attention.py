@@ -1,0 +1,62 @@
+"""Attention dispatch: XLA reference path and Pallas TPU flash kernel.
+
+This is the TPU-native replacement for the reference's FlashAttention-2
+CUDA dependency (zqqqqz2000/MixGRPO fastvideo/models/flash_attn_no_pad.py:
+unpad -> flash_attn_varlen_qkvpacked_func -> repad).  The MMDiT joint
+text+image sequence here has *static* shape (512 text + packed image
+tokens), so no varlen unpadding is needed; optional segment masking covers
+padded text tokens.
+
+Backends:
+  - "xla":    jnp einsum with fp32 softmax — reference implementation and
+              CPU/test path.  XLA already fuses this well on TPU.
+  - "pallas": blockwise online-softmax flash kernel (ops/flash_attention.py)
+              keeping the S x S score matrix out of HBM.
+  - "auto":   pallas on TPU when shapes allow, else xla.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q, k, v, mask=None, scale=None):
+    """q, k, v: (B, H, S, D).  Returns (B, H, S, D).  fp32 softmax."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend
+        return False
+    return plat in ("tpu", "axon")
+
+
+def attention(q, k, v, mask=None, impl: str = "auto"):
+    """Bidirectional scaled dot-product attention over (B, H, S, D).
+
+    ``mask``: optional (B, 1|H, S, S) or (S, S) boolean, True = attend.
+    """
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    with jax.named_scope(f"mmdit_attention_{impl}"):
+        if impl == "pallas":
+            from mixgrpo_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(q, k, v, mask=mask)
+        return _xla_attention(q, k, v, mask=mask)
