@@ -1,0 +1,308 @@
+"""Pallas TPU flash attention for the MMDiT joint text+image sequence.
+
+TPU-native replacement for the reference's FlashAttention-2 CUDA kernels
+(zqqqqz2000/MixGRPO fastvideo/models/flash_attn_no_pad.py:6-37 and the
+flash-attn dependency pinned in env_setup.sh:7).  The MMDiT sequence here is
+static-shape (512 text + packed image tokens), so there is no varlen
+unpad/repad; sequences that are not multiples of the block size are padded
+by the wrapper and key-side padding is masked inside the kernel.
+
+Design (per pallas_guide.md):
+  - forward: grid (batch*heads, q_blocks, k_blocks), online softmax with
+    running max/denominator in VMEM scratch; k iterates innermost so the
+    accumulator lives across the k loop; logsumexp is saved for backward.
+  - backward: two kernels — dkv (grid over k blocks, scanning q blocks) and
+    dq (grid over q blocks, scanning k blocks) — recomputing probabilities
+    from the saved logsumexp, the standard flash backward.
+  - all matmuls hit the MXU with fp32 accumulation
+    (preferred_element_type); probabilities are cast back to the input
+    dtype (bf16) for the PV and dV matmuls.
+
+The kernel runs in interpret mode on CPU (tests) and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+_LANES = 128
+
+
+def _interpret() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return True
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale, kv_len, block_k):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, BK)
+
+    # mask key-side padding
+    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]  # (BQ, 1)
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur)  # (BQ, BK)
+    l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_cur, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_cur, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[:] + jnp.log(jnp.maximum(l_scr[:], 1e-30))).astype(
+            jnp.float32
+        )
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *, scale, kv_len, block_k,
+                block_q, q_len):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+    ki = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, BK)
+    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    valid = jnp.logical_and(col < kv_len, row < q_len)
+
+    lse = lse_ref[0][:, :1]  # (BQ, 1)
+    p = jnp.where(valid, jnp.exp(s - lse), 0.0)  # (BQ, BK)
+
+    do = do_ref[0]  # (BQ, D)
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, BK)
+    delta = delta_ref[0][:, :1]  # (BQ, 1)
+    ds = p * (dp - delta) * scale
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               dq_scr, *, scale, kv_len, block_k):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    lse = lse_ref[0][:, :1]
+    p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = delta_ref[0][:, :1]
+    ds = p * (dp - delta) * scale
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0] = (dq_scr[:] * 1.0).astype(dq_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _fwd_impl(q, k, v, scale, block_q, block_k):
+    B, H, S, D = q.shape
+    Sk = k.shape[2]
+    bq, bk = min(block_q, S), min(block_k, Sk)
+    Sp = pl.cdiv(S, bq) * bq
+    Skp = pl.cdiv(Sk, bk) * bk
+    qf = _pad_to(q.reshape(B * H, S, D), Sp, 1)
+    kf = _pad_to(k.reshape(B * H, Sk, D), Skp, 1)
+    vf = _pad_to(v.reshape(B * H, Sk, D), Skp, 1)
+
+    grid = (B * H, Sp // bq, Skp // bk)
+    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=Sk, block_k=bk)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Sp, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Sp, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qf, kf, vf)
+    return o[:, :S].reshape(B, H, S, D), lse[:, :S]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, scale, block_q, block_k):
+    o, _ = _fwd_impl(q, k, v, scale, block_q, block_k)
+    return o
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k):
+    o, lse = _fwd_impl(q, k, v, scale, block_q, block_k)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bwd(scale, block_q, block_k, res, do):
+    q, k, v, o, lse = res
+    B, H, S, D = q.shape
+    Sk = k.shape[2]
+    bq, bk = min(block_q, S), min(block_k, Sk)
+    Sp = pl.cdiv(S, bq) * bq
+    Skp = pl.cdiv(Sk, bk) * bk
+
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, _LANES))
+
+    qf = _pad_to(q.reshape(B * H, S, D), Sp, 1)
+    kf = _pad_to(k.reshape(B * H, Sk, D), Skp, 1)
+    vf = _pad_to(v.reshape(B * H, Sk, D), Skp, 1)
+    dof = _pad_to(do.reshape(B * H, S, D), Sp, 1)
+    lsef = _pad_to(lse.reshape(B * H, S, _LANES), Sp, 1)
+    deltaf = _pad_to(delta.reshape(B * H, S, _LANES), Sp, 1)
+
+    dkv_kernel = functools.partial(
+        _dkv_kernel, scale=scale, kv_len=Sk, block_k=bk, block_q=bq, q_len=S
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(B * H, Skp // bk, Sp // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, bq, _LANES), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, bq, _LANES), lambda b, ki, qi: (b, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Skp, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Skp, D), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qf, kf, vf, dof, lsef, deltaf)
+
+    dq_kernel = functools.partial(_dq_kernel, scale=scale, kv_len=Sk, block_k=bk)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(B * H, Sp // bq, Skp // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sp, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        interpret=_interpret(),
+    )(qf, kf, vf, dof, lsef, deltaf)
+
+    return (
+        dq[:, :S].reshape(B, H, S, D),
+        dk[:, :Sk].reshape(B, H, Sk, D),
+        dv[:, :Sk].reshape(B, H, Sk, D),
+    )
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, mask=None, block_q: int = 512, block_k: int = 1024):
+    """Flash attention over (B, H, S, D); full bidirectional (mask=None).
+
+    The MMDiT joint sequence needs no mask (text is fixed-length 512 in the
+    cached-embedding pipeline); key-side *padding* introduced by block
+    alignment is masked internally.
+    """
+    assert mask is None, "segment masks not supported yet (static MMDiT seq)"
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    return _flash(q, k, v, scale, block_q, block_k)

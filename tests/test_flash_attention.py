@@ -1,0 +1,62 @@
+"""Pallas flash attention vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixgrpo_tpu.ops.attention import _xla_attention
+from mixgrpo_tpu.ops.flash_attention import flash_attention
+
+
+def _rand_qkv(key, B, H, S, D, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    return tuple(jax.random.normal(k, (B, H, S, D), dtype) for k in ks)
+
+
+@pytest.mark.parametrize("S,block", [(128, 64), (192, 64), (256, 256)])
+def test_forward_matches_xla(S, block):
+    q, k, v = _rand_qkv(jax.random.key(0), 1, 2, S, 64)
+    got = flash_attention(q, k, v, block_q=block, block_k=block)
+    want = _xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_forward_unaligned_seq():
+    """Sequence not a multiple of the block size (e.g. 2537 joint tokens)."""
+    q, k, v = _rand_qkv(jax.random.key(1), 1, 1, 100, 64)
+    got = flash_attention(q, k, v, block_q=64, block_k=64)
+    want = _xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_backward_matches_xla():
+    q, k, v = _rand_qkv(jax.random.key(2), 1, 2, 128, 32)
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=64, block_k=64) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v) ** 2)
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_backward_unaligned():
+    q, k, v = _rand_qkv(jax.random.key(3), 1, 1, 80, 32)
+    g1 = jax.grad(lambda *a: jnp.sum(flash_attention(*a, block_q=64, block_k=64)))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(_xla_attention(*a)))(q, k, v)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-4, atol=5e-5)
+
+
+def test_bf16_forward_close():
+    q, k, v = _rand_qkv(jax.random.key(4), 1, 2, 128, 64, jnp.bfloat16)
+    got = flash_attention(q, k, v, block_q=64, block_k=64).astype(jnp.float32)
+    want = _xla_attention(q, k, v).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
