@@ -1,0 +1,188 @@
+"""FLUX AutoencoderKL decoder in pure-functional JAX (NHWC).
+
+Rebuild target (SURVEY.md §2.2): the reference decodes rollout latents with
+diffusers ``AutoencoderKL`` (zqqqqz2000/MixGRPO
+fastvideo/train_grpo_flux.py:697-701, decode at :284-289 — 8x spatial
+upsample, 16-ch latents, scale/shift 0.3611/0.1159 applied by the caller).
+
+Architecture (FLUX.1-dev VAE config): decoder-only here (the RL pipeline
+never encodes — prompts come from the embedding cache and rollouts start
+from noise).  conv_in 16->512, mid block (resnet, single-head spatial
+attention, resnet), four up blocks of 3 resnets each at channels
+(512, 512, 256, 128) with nearest-2x upsampling between, GroupNorm(32) +
+SiLU head, conv_out -> RGB.  No post-quant conv (FLUX uses shift/scale
+latent normalization instead).
+
+TPU-first: channel-last layout, fp32 GroupNorm statistics, bf16 convs; the
+whole decode jits to one fused program — the reference needs VAE tiling on
+GPU (train_grpo_flux.py:279), unnecessary here at 512-1024px.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    latent_channels: int = 16
+    out_channels: int = 3
+    block_out_channels: tuple = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.3611
+    shift_factor: float = 0.1159
+
+    @classmethod
+    def flux_dev(cls) -> "VAEConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "VAEConfig":
+        return cls(block_out_channels=(8, 16, 16, 32), norm_num_groups=4)
+
+
+def _conv_init(key, kh, kw, cin, cout):
+    scale = 1.0 / (kh * kw * cin) ** 0.5
+    return {
+        "w": jax.random.uniform(key, (kh, kw, cin, cout), jnp.float32, -scale, scale),
+        "b": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def _conv(p, x, stride=1, dtype=None):
+    dtype = dtype or x.dtype
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), p["w"].astype(dtype),
+        window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"].astype(dtype)
+
+
+def _gn_init(c):
+    return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def _group_norm(p, x, groups, eps=1e-6):
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
+    mu = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, h, w, c)
+    return (xf * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _resnet_init(key, cin, cout):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "norm1": _gn_init(cin),
+        "conv1": _conv_init(k1, 3, 3, cin, cout),
+        "norm2": _gn_init(cout),
+        "conv2": _conv_init(k2, 3, 3, cout, cout),
+    }
+    if cin != cout:
+        p["shortcut"] = _conv_init(k3, 1, 1, cin, cout)
+    return p
+
+
+def _resnet(p, x, groups, dtype):
+    h = _group_norm(p["norm1"], x, groups)
+    h = _conv(p["conv1"], jax.nn.silu(h), dtype=dtype)
+    h = _group_norm(p["norm2"], h, groups)
+    h = _conv(p["conv2"], jax.nn.silu(h), dtype=dtype)
+    skip = _conv(p["shortcut"], x, dtype=dtype) if "shortcut" in p else x
+    return skip + h
+
+
+def _attn_init(key, c):
+    ks = jax.random.split(key, 4)
+    lin = lambda k: {
+        "w": jax.random.normal(k, (c, c), jnp.float32) * (c**-0.5),
+        "b": jnp.zeros((c,), jnp.float32),
+    }
+    return {"norm": _gn_init(c), "q": lin(ks[0]), "k": lin(ks[1]),
+            "v": lin(ks[2]), "out": lin(ks[3])}
+
+
+def _spatial_attn(p, x, groups, dtype):
+    """Single-head attention over the H*W token grid (VAE mid block)."""
+    b, h, w, c = x.shape
+    y = _group_norm(p["norm"], x, groups).reshape(b, h * w, c)
+    q = y @ p["q"]["w"].astype(y.dtype) + p["q"]["b"].astype(y.dtype)
+    k = y @ p["k"]["w"].astype(y.dtype) + p["k"]["b"].astype(y.dtype)
+    v = y @ p["v"]["w"].astype(y.dtype) + p["v"]["b"].astype(y.dtype)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * (c**-0.5), axis=-1).astype(v.dtype)
+    o = jnp.einsum("bqk,bkc->bqc", probs, v, preferred_element_type=jnp.float32)
+    o = o.astype(y.dtype) @ p["out"]["w"].astype(y.dtype) + p["out"]["b"].astype(y.dtype)
+    return x + o.reshape(b, h, w, c)
+
+
+def init_vae_decoder(key, cfg: VAEConfig) -> Dict[str, Any]:
+    chans = cfg.block_out_channels
+    top = chans[-1]
+    ks = jax.random.split(key, 8 + len(chans))
+    params: Dict[str, Any] = {
+        "conv_in": _conv_init(ks[0], 3, 3, cfg.latent_channels, top),
+        "mid_res1": _resnet_init(ks[1], top, top),
+        "mid_attn": _attn_init(ks[2], top),
+        "mid_res2": _resnet_init(ks[3], top, top),
+        "norm_out": _gn_init(chans[0]),
+        "conv_out": _conv_init(ks[4], 3, 3, chans[0], cfg.out_channels),
+    }
+    # up blocks run top-down: reversed channels (512, 512, 256, 128)
+    rev = list(reversed(chans))
+    blocks = []
+    cin = top
+    for bi, cout in enumerate(rev):
+        bkeys = jax.random.split(ks[5 + bi], cfg.layers_per_block + 2)
+        resnets = []
+        for li in range(cfg.layers_per_block + 1):
+            resnets.append(_resnet_init(bkeys[li], cin, cout))
+            cin = cout
+        blk = {"resnets": resnets}
+        if bi < len(rev) - 1:
+            blk["upsample"] = _conv_init(bkeys[-1], 3, 3, cout, cout)
+        blocks.append(blk)
+    params["up_blocks"] = blocks
+    return params
+
+
+def vae_decode(
+    params: Dict[str, Any],
+    cfg: VAEConfig,
+    latents: jnp.ndarray,  # (B, h, w, latent_channels), *normalized*
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Decode normalized latents to images in [-1, 1], (B, 8h, 8w, 3).
+
+    The caller un-normalizes first (latents / 0.3611 + 0.1159,
+    ``denormalize_latents`` — parity with train_grpo_flux.py:287).
+    """
+    g = cfg.norm_num_groups
+    x = _conv(params["conv_in"], latents.astype(dtype))
+    x = _resnet(params["mid_res1"], x, g, dtype)
+    x = _spatial_attn(params["mid_attn"], x, g, dtype)
+    x = _resnet(params["mid_res2"], x, g, dtype)
+    n_blocks = len(params["up_blocks"])
+    for bi, blk in enumerate(params["up_blocks"]):
+        for rp in blk["resnets"]:
+            x = _resnet(rp, x, g, dtype)
+        if bi < n_blocks - 1:
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
+            x = _conv(blk["upsample"], x)
+    x = _group_norm(params["norm_out"], x, g)
+    x = _conv(params["conv_out"], jax.nn.silu(x))
+    return x.astype(jnp.float32)
+
+
+def postprocess_images(images: jnp.ndarray) -> jnp.ndarray:
+    """[-1, 1] -> [0, 1], clipped (diffusers VaeImageProcessor.postprocess)."""
+    return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
