@@ -1,0 +1,17 @@
+from mixgrpo_tpu.parallel.mesh import MeshConfig, make_mesh, init_distributed
+from mixgrpo_tpu.parallel.sharding import (
+    flux_param_specs,
+    shard_params,
+    data_spec,
+    replicated_spec,
+)
+
+__all__ = [
+    "MeshConfig",
+    "make_mesh",
+    "init_distributed",
+    "flux_param_specs",
+    "shard_params",
+    "data_spec",
+    "replicated_spec",
+]

@@ -1,0 +1,107 @@
+"""Sharding rules: FSDP-style weight sharding + tensor parallel for FLUX.
+
+TPU-native replacement for torch FSDP (zqqqqz2000/MixGRPO
+fastvideo/utils/fsdp_util.py:69-117: auto-wrap at transformer blocks,
+full/hybrid sharding strategies, bf16 mixed precision).  Here sharding is a
+pytree of ``NamedSharding`` annotations; jit's SPMD partitioner inserts the
+all-gathers/reduce-scatters that FSDP does imperatively.
+
+Rules (path-pattern -> PartitionSpec over mesh axes (dp, fsdp, sp, tp)):
+  - stacked block params keep the leading depth axis unsharded (scan dim);
+  - big projections shard their *input or output feature dim* over "fsdp"
+    (ZeRO-3-like: every weight split across the fsdp axis, gathered on use);
+  - attention qkv / mlp-in shard the output dim over "tp"; attention-out /
+    mlp-out shard the input dim over "tp" (Megatron layout), so within a
+    block only one reduce lands on the residual stream;
+  - small vectors (biases, norms) replicate.
+
+``fsdp`` and ``tp`` shard *different dims* of the same weight where
+possible, so they compose.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# path-regex -> spec for the *last dims* of the weight (leading stacked depth
+# axis gets None automatically when ndim is one larger than the spec).
+_FLUX_RULES = [
+    # fused qkv / linear1 / mlp-in: (h_in, out) -> fsdp on in, tp on out
+    (r"(img_qkv|txt_qkv|linear1|img_mlp_in|txt_mlp_in)/w$", P("fsdp", "tp")),
+    (r"(img_qkv|txt_qkv|linear1|img_mlp_in|txt_mlp_in)/b$", P("tp")),
+    # output projections: (in, h) -> tp on in, fsdp on out
+    (r"(img_attn_out|txt_attn_out|linear2|img_mlp_out|txt_mlp_out)/w$", P("tp", "fsdp")),
+    (r"(img_attn_out|txt_attn_out|linear2|img_mlp_out|txt_mlp_out)/b$", P()),
+    # adaLN modulation heads: replicate over tp (chunked output), fsdp on in
+    (r"(img_mod|txt_mod|mod|final_mod)/lin/w$", P("fsdp", None)),
+    (r"(img_mod|txt_mod|mod|final_mod)/lin/b$", P()),
+    # embedders
+    (r"(x_embedder|context_embedder|proj_out)/w$", P(None, "fsdp")),
+    (r"(time_in|vector_in|guidance_in)/(in|out)/w$", P(None, "fsdp")),
+    # everything else (biases, qk norms) replicated
+    (r".*", P()),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _spec_for(path_s: str, ndim: int, shape, mesh: Mesh) -> P:
+    for pat, spec in _FLUX_RULES:
+        if re.search(pat, path_s):
+            parts = list(spec)
+            # pad leading dims (stacked depth axis etc.) with None
+            while len(parts) < ndim:
+                parts.insert(0, None)
+            parts = parts[:ndim]
+            # drop shardings that do not divide the dim evenly
+            out = []
+            for dim, ax in zip(shape, parts):
+                if ax is None:
+                    out.append(None)
+                    continue
+                size = mesh.shape[ax] if isinstance(ax, str) else 1
+                out.append(ax if size > 1 and dim % size == 0 else None)
+            return P(*out)
+    return P()
+
+
+def flux_param_specs(params: Any, mesh: Mesh) -> Any:
+    """Pytree of NamedSharding matching ``params`` (works on shapes too)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    specs = [
+        NamedSharding(mesh, _spec_for(_path_str(p), v.ndim, v.shape, mesh))
+        for p, v in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place (and shard) a param pytree on the mesh."""
+    return jax.device_put(params, flux_param_specs(params, mesh))
+
+
+def data_spec(mesh: Mesh, ndim: int, batch_axes=("dp", "fsdp")) -> NamedSharding:
+    """Batch sharded over dp+fsdp (fsdp doubles as data parallel for
+    activations — ZeRO-3 semantics), rest replicated."""
+    axes = tuple(a for a in batch_axes if mesh.shape[a] > 1)
+    lead = axes if axes else None
+    return NamedSharding(mesh, P(lead, *([None] * (ndim - 1))))
+
+
+def replicated_spec(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
