@@ -80,32 +80,32 @@ def _build():
     ids = np.concatenate([make_text_ids(TEXT_LEN), make_image_ids(lh, lw)])
     cos, sin = rope_tables(ids, cfg.axes_dims)
 
-    def step(z, t):
+    def step(params, z, t):
         return flux_forward(
             params, cfg, z, txt, pooled, t, jnp.full((B,), 3.5), cos, sin,
             dtype=jnp.bfloat16, attn_impl="auto", remat=False,
         )
 
-    return step, img
+    return step, params, img
 
 
-def _time_forward(step, img, n=10):
+def _time_forward(step, params, img, n=10):
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(z, m):
+    def run(params, z, m):
         def body(i, z):
             t = jnp.full((z.shape[0],), 0.5) + 1e-6 * i
-            out = step(z, t)
+            out = step(params, z, t)
             return z + out.astype(z.dtype) * jnp.bfloat16(1e-6)
         return jax.lax.fori_loop(0, m, body, z).astype(jnp.float32).mean()
 
-    float(run(img, 1))  # compile + warm
+    float(run(params, img, 1))  # compile + warm
 
     def timed(m):
         t0 = time.time()
-        float(run(img, m))
+        float(run(params, img, m))
         return time.time() - t0
 
     t_small = timed(2)
@@ -115,8 +115,8 @@ def _time_forward(step, img, n=10):
 
 def main():
     _enable_compile_cache()
-    step, img = _build()
-    t_meas = _time_forward(step, img)
+    step, params, img = _build()
+    t_meas = _time_forward(step, params, img)
 
     S = TEXT_LEN + (HEIGHT // 16) ** 2
     # matmul-FLOPs ratio via parameter counts (exact for per-token linears)
