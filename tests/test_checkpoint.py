@@ -1,0 +1,55 @@
+"""Orbax checkpoint save/restore + safetensors export round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixgrpo_tpu.models.flux.load import load_flux_params
+from mixgrpo_tpu.models.flux.model import FluxConfig, init_flux
+from mixgrpo_tpu.rl.window import SlidingWindowState
+from mixgrpo_tpu.utils.checkpoint import CheckpointManager, export_flux_safetensors
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = FluxConfig.tiny()
+    params = init_flux(jax.random.key(0), cfg)
+    opt_state = {"mu": jax.tree.map(jnp.zeros_like, params), "count": jnp.zeros(())}
+    win = SlidingWindowState(iters_per_group=25, group_size=4, max_timesteps=25,
+                             prog_overlap=True, roll_back=True)
+    for _ in range(30):
+        win.update_iteration()
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(7, params, opt_state, window_state=win.to_dict(), extra={"note": "x"})
+    assert mgr.latest_step() == 7
+
+    tmpl_p = jax.tree.map(jnp.zeros_like, params)
+    tmpl_o = jax.tree.map(jnp.zeros_like, opt_state)
+    p2, o2, win_d, step = mgr.restore(
+        params_template=tmpl_p, opt_state_template=tmpl_o
+    )
+    assert step == 7
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    win2 = SlidingWindowState.from_dict(win_d)
+    assert win2.cur_timestep == win.cur_timestep
+    assert win2.get_current_timesteps() == win.get_current_timesteps()
+    mgr.close()
+
+
+def test_safetensors_export_reload(tmp_path):
+    cfg = FluxConfig.tiny()
+    params = init_flux(jax.random.key(1), cfg)
+    path = str(tmp_path / "diffusion_pytorch_model.safetensors")
+    export_flux_safetensors(params, cfg, path)
+    reloaded = load_flux_params(path, cfg)
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_flatten_with_path(reloaded)[0]
+    )
+    for p, v in flat_a:
+        k = jax.tree_util.keystr(p)
+        np.testing.assert_allclose(
+            np.asarray(flat_b[k]), np.asarray(v), rtol=1e-6, err_msg=k
+        )
