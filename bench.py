@@ -108,9 +108,9 @@ def _time_forward(step, params, img, n=10):
         float(run(params, img, m))
         return time.time() - t0
 
-    t_small = timed(2)
-    t_big = timed(2 + n)
-    return (t_big - t_small) / n
+    # slope over multiple points cancels the fixed tunnel overhead robustly
+    t0, t1, t2 = timed(0), timed(n), timed(2 * n)
+    return (t2 - t0) / (2 * n)
 
 
 def main():
@@ -119,11 +119,15 @@ def main():
     t_meas = _time_forward(step, params, img)
 
     S = TEXT_LEN + (HEIGHT // 16) ** 2
-    # matmul-FLOPs ratio via parameter counts (exact for per-token linears)
-    params_block_d, params_block_s = 340e6, 141e6  # per-block matmul params
-    params_meas = DD * params_block_d + DS * params_block_s + 0.05e9
-    params_full = FULL_DD * params_block_d + FULL_DS * params_block_s + 0.05e9
-    attn_flops = lambda L: 4 * S * S * 128 * 24 * L
+    # Per-TOKEN matmul params only (adaLN modulation heads act on the
+    # (B, hidden) conditioning vector, not per token, and are negligible
+    # at B=1): double block = 2x(qkv 3072x9216 + out 3072^2 + mlp
+    # 2x3072x12288) = 226.5M; single = linear1 3072x21504 + linear2
+    # 15360x3072 = 113.3M; embedders ~13M per token-side.
+    params_block_d, params_block_s = 226.5e6, 113.3e6
+    params_meas = DD * params_block_d + DS * params_block_s + 13e6
+    params_full = FULL_DD * params_block_d + FULL_DS * params_block_s + 13e6
+    attn_flops = lambda L: 4 * S * S * 3072 * L  # qk^T + pv per joint layer
     flops_meas = 2 * params_meas * S + attn_flops(DD + DS)
     flops_full = 2 * params_full * S + attn_flops(FULL_DD + FULL_DS)
 

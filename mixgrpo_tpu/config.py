@@ -115,6 +115,7 @@ class RewardConfig:
     hps_path: str = "hps_ckpt/HPS_v2.1_compressed.pt"
     hps_clip_path: str = "hps_ckpt/open_clip_pytorch_model.bin"
     clip_score_path: str = "hf-hub:apple/DFN5B-CLIP-ViT-H-14-384"
+    pick_score_path: str = "./pickscore_ckpt"  # local PickScore_v1 dir
     image_reward_path: str = "./image_reward_ckpt/ImageReward.pt"
     image_reward_med_config: str = "./image_reward_ckpt/med_config.json"
     unified_reward_url: Optional[str] = None

@@ -42,8 +42,10 @@ class VAEConfig:
         return cls()
 
     @classmethod
-    def tiny(cls) -> "VAEConfig":
-        return cls(block_out_channels=(8, 16, 16, 32), norm_num_groups=4)
+    def tiny(cls, **kw) -> "VAEConfig":
+        d = dict(block_out_channels=(8, 16, 16, 32), norm_num_groups=4)
+        d.update(kw)
+        return cls(**d)
 
 
 def _conv_init(key, kh, kw, cin, cout):
