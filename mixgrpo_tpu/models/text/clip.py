@@ -203,9 +203,15 @@ def clip_image_features(
 
 
 def clip_text_features(
-    params, cfg: CLIPConfig, token_ids, *, dtype=jnp.float32, normalize=True
+    params, cfg: CLIPConfig, token_ids, *, dtype=jnp.float32, normalize=True,
+    project=True,
 ):
-    """token_ids: (B, context) int32; EOT position = argmax token id."""
+    """token_ids: (B, context) int32; EOT position = argmax token id.
+
+    ``project=False`` returns the final-LN EOT hidden state (the HF
+    ``pooler_output`` that FLUX uses as its pooled conditioning) instead of
+    the projected embedding.
+    """
     t = cfg.text
     p = params["text"]
     x = p["token_emb"].astype(dtype)[token_ids] + p["pos_emb"].astype(dtype)
@@ -217,6 +223,8 @@ def clip_text_features(
     x = _ln(p["ln_final"], x, cfg.eps)
     eot = jnp.argmax(token_ids, axis=-1)
     pooled = x[jnp.arange(x.shape[0]), eot]
+    if not project:
+        return pooled.astype(jnp.float32)
     feats = pooled @ p["proj"].astype(dtype)
     if normalize:
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)

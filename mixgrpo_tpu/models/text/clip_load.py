@@ -121,6 +121,47 @@ def load_clip_hf(state: Dict[str, np.ndarray], cfg: CLIPConfig):
     })
 
 
+def load_clip_hf_text_only(state: Dict[str, np.ndarray], cfg: CLIPConfig):
+    """Text tower only (FLUX's ``text_encoder`` dir is a bare CLIPTextModel
+    with no vision weights and no projection)."""
+    st = state
+
+    def blocks(prefix, n):
+        out = []
+        for i in range(n):
+            b = f"{prefix}.layers.{i}"
+            qkv_w = np.concatenate(
+                [st[f"{b}.self_attn.{x}_proj.weight"] for x in "qkv"], axis=0
+            ).astype(np.float32)
+            qkv_b = np.concatenate(
+                [st[f"{b}.self_attn.{x}_proj.bias"] for x in "qkv"]
+            ).astype(np.float32)
+            out.append({
+                "ln1": _ln(st, f"{b}.layer_norm1"),
+                "qkv": {"w": np.ascontiguousarray(qkv_w.T), "b": qkv_b},
+                "out": _lin(st, f"{b}.self_attn.out_proj"),
+                "ln2": _ln(st, f"{b}.layer_norm2"),
+                "fc1": _lin(st, f"{b}.mlp.fc1"),
+                "fc2": _lin(st, f"{b}.mlp.fc2"),
+            })
+        return _stack(out)
+
+    tp = "text_model"
+    width = st[f"{tp}.embeddings.token_embedding.weight"].shape[1]
+    text = {
+        "token_emb": st[f"{tp}.embeddings.token_embedding.weight"].astype(np.float32),
+        "pos_emb": st[f"{tp}.embeddings.position_embedding.weight"].astype(np.float32),
+        "blocks": blocks(f"{tp}.encoder", cfg.text.layers),
+        "ln_final": _ln(st, f"{tp}.final_layer_norm"),
+        "proj": (
+            np.ascontiguousarray(st["text_projection.weight"].astype(np.float32).T)
+            if "text_projection.weight" in st
+            else np.eye(width, dtype=np.float32)
+        ),
+    }
+    return _finish({"text": text, "logit_scale": np.float32(0.0)})
+
+
 # ---------------------------------------------------------------------------
 # OpenCLIP naming
 # ---------------------------------------------------------------------------

@@ -1,0 +1,145 @@
+"""App-level tests: dual-pipeline inference, preprocess encoder, eval flow."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixgrpo_tpu.models.flux.model import FluxConfig, init_flux
+from mixgrpo_tpu.models.flux.vae import VAEConfig, init_vae_decoder
+from mixgrpo_tpu.sample import DualFluxPipeline, calculate_shift, dynamic_shift_sigmas
+
+
+def test_calculate_shift_endpoints():
+    # diffusers constants: mu(256)=0.5, mu(4096)=1.16
+    assert abs(calculate_shift(256) - 0.5) < 1e-9
+    assert abs(calculate_shift(4096) - 1.16) < 1e-9
+
+
+def test_dynamic_shift_sigmas():
+    sig = dynamic_shift_sigmas(50, calculate_shift(4096))
+    assert sig.shape == (51,)
+    assert sig[0] > 0.9 and sig[-1] == 0.0
+    assert np.all(np.diff(sig) < 0)
+
+
+def _tiny_pipe(tuned=True):
+    flux_cfg = FluxConfig.tiny()
+    base = init_flux(jax.random.key(0), flux_cfg)
+    tuned_p = init_flux(jax.random.key(1), flux_cfg) if tuned else None
+    vae_cfg = VAEConfig.tiny(latent_channels=flux_cfg.in_channels // 4)
+    vae = init_vae_decoder(jax.random.key(2), vae_cfg)
+    return DualFluxPipeline(
+        flux_cfg, base, tuned_p, vae_cfg=vae_cfg, vae_params=vae,
+        height=64, width=64, num_steps=6, mix_sampling_steps=3,
+        text_len=4, dtype=jnp.float32, attn_impl="xla",
+    ), flux_cfg
+
+
+def test_dual_pipeline_mixed_models_differ():
+    pipe, cfg = _tiny_pipe()
+    txt = jax.random.normal(jax.random.key(3), (2, 4, cfg.context_dim))
+    pooled = jax.random.normal(jax.random.key(4), (2, cfg.pooled_dim))
+    imgs = pipe(txt, pooled, jax.random.key(5))
+    assert imgs.shape == (2, 64, 64, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+    assert 0.0 <= float(imgs.min()) and float(imgs.max()) <= 1.0
+
+    # base-only pipeline produces different images than mixed
+    pipe_base, _ = _tiny_pipe(tuned=False)
+    imgs_base = pipe_base(txt, pooled, jax.random.key(5))
+    assert not np.allclose(np.asarray(imgs), np.asarray(imgs_base))
+
+
+def test_save_outputs_and_eval_flow(tmp_path):
+    from mixgrpo_tpu.eval_rewards import evaluate, load_metadata, summarize
+    from mixgrpo_tpu.sample import save_outputs
+
+    imgs = np.random.default_rng(0).uniform(size=(3, 16, 16, 3)).astype(np.float32)
+    prompts = ["a", "b", "c"]
+    save_outputs(imgs, prompts, str(tmp_path), seeds=[1, 2, 3])
+    entries = load_metadata(str(tmp_path))
+    assert len(entries) == 3 and entries[0]["prompt"] == "a"
+
+    class FakeReward:
+        def __call__(self, images, ps):
+            return [float(images[i].mean()) for i in range(len(ps))], [1.0] * len(ps)
+
+    class FailingReward:
+        def __call__(self, images, ps):
+            return [None] * len(ps), [0.0] * len(ps)
+
+    results = evaluate(
+        entries, str(tmp_path),
+        {"pick_score": FakeReward(), "unified_reward": FailingReward()},
+        batch_size=2,
+    )
+    assert len(results) == 3
+    assert all("pick_score_reward" in r for r in results)
+    s = summarize(results)
+    assert "pick_score_mean" in s and s["pick_score_count"] == 3
+    # pick_score denormalization applied
+    raw = np.mean([r["pick_score_reward"] for r in results])
+    np.testing.assert_allclose(s["pick_score_mean"], (raw * 8 + 18) / 100, rtol=1e-6)
+    # failed model excluded entirely
+    assert "unified_reward_mean" not in s
+
+
+def test_prompt_encoder_tiny():
+    from mixgrpo_tpu.models.text.clip import CLIPConfig, CLIPTowerConfig, init_clip
+    from mixgrpo_tpu.models.text.t5 import T5Config, init_t5
+    from mixgrpo_tpu.preprocess import PromptEncoder
+
+    t5_cfg = T5Config.tiny()
+    clip_cfg = CLIPConfig(
+        embed_dim=16,
+        vision=CLIPTowerConfig(width=32, layers=1, heads=2, patch=8, image_size=32),
+        text=CLIPTowerConfig(width=32, layers=2, heads=2, vocab=64, context=16),
+    )
+
+    class FakeT5Tok:
+        def __call__(self, texts, **kw):
+            ids = np.zeros((len(texts), kw["max_length"]), np.int64)
+            for i, t in enumerate(texts):
+                for j, ch in enumerate(t[: kw["max_length"]]):
+                    ids[i, j] = (ord(ch) % 100) + 2
+            return {"input_ids": ids}
+
+    class FakeClipTok:
+        def __call__(self, texts):
+            ids = np.zeros((len(texts), 16), np.int32)
+            ids[:, 0] = 62
+            ids[:, 1] = 63
+            return ids
+
+    enc = PromptEncoder(
+        init_t5(jax.random.key(0), t5_cfg), t5_cfg, FakeT5Tok(),
+        init_clip(jax.random.key(1), clip_cfg), clip_cfg, FakeClipTok(),
+        max_len=8, dtype=jnp.float32,
+    )
+    emb, pooled = enc(["hello", "world"])
+    assert emb.shape == (2, 8, t5_cfg.d_model)
+    assert pooled.shape == (2, clip_cfg.text.width)  # unprojected width
+    assert np.isfinite(emb).all() and np.isfinite(pooled).all()
+
+
+def test_preprocess_roundtrip_into_dataset(tmp_path):
+    from mixgrpo_tpu.data.dataset import LatentDataset
+    from mixgrpo_tpu.preprocess import run_preprocess
+
+    class FakeEncoder:
+        def __call__(self, prompts):
+            n = len(prompts)
+            return (
+                np.ones((n, 4, 8), np.float32),
+                np.zeros((n, 3), np.float32),
+            )
+
+    prompts = [f"p{i}" for i in range(5)]
+    run_preprocess(prompts, FakeEncoder(), str(tmp_path / "c"), batch_size=2)
+    ds = LatentDataset(str(tmp_path / "c"))
+    assert len(ds) == 5
+    assert ds.get(4)["caption"] == "p4"
