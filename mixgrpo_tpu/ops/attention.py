@@ -55,6 +55,15 @@ def attention(q, k, v, mask=None, impl: str = "auto"):
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
     with jax.named_scope(f"mmdit_attention_{impl}"):
+        if impl == "ulysses":
+            from mixgrpo_tpu.parallel.ulysses import get_sp_context, ulysses_attention
+
+            ctx = get_sp_context()
+            assert ctx is not None, "attention(impl='ulysses') needs set_sp_context"
+            assert mask is None, "ulysses attention does not support masks"
+            mesh, axis = ctx
+            base = "pallas" if _on_tpu() else "xla"
+            return ulysses_attention(q, k, v, mesh, axis, base_impl=base)
         if impl == "pallas":
             from mixgrpo_tpu.ops.flash_attention import flash_attention
 

@@ -1,0 +1,69 @@
+"""Ulysses (DeepSpeed-style) sequence parallelism via shard_map all_to_all.
+
+TPU-native re-design of the reference's SP collectives
+(zqqqqz2000/MixGRPO fastvideo/utils/communications.py:17-137
+``_all_to_all_4D``/``SeqAllToAll4D`` and the attention integrations in
+fastvideo/models/hunyuan/modules/attenion.py:35-90,
+modeling_hunyuan.py:142-190, modeling_mochi.py:192-264): before attention,
+all-to-all the sequence-sharded QKV into head-sharded full-sequence tensors;
+after attention, the inverse.  Ulysses maps 1:1 onto a single ICI
+``all_to_all`` per tensor — no torch autograd wrappers needed, the
+collective is differentiable and the backward all_to_all is inserted by AD.
+
+The reference runs the FLUX recipe with sp_size=1 (SURVEY.md §2.5); this is
+the same off-by-default capability with scale headroom for >1024px (joint
+sequences beyond one chip's attention working set).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+_SP_CONTEXT: Optional[Tuple[Mesh, str]] = None
+
+
+def set_sp_context(mesh: Optional[Mesh], axis: str = "sp") -> None:
+    """Install the mesh/axis used by ``attention(impl='ulysses')``."""
+    global _SP_CONTEXT
+    _SP_CONTEXT = (mesh, axis) if mesh is not None else None
+
+
+def get_sp_context() -> Optional[Tuple[Mesh, str]]:
+    return _SP_CONTEXT
+
+
+def ulysses_attention(q, k, v, mesh: Mesh, axis: str = "sp", base_impl: str = "xla"):
+    """Attention over (B, H, S, D) with S sharded on ``axis``.
+
+    Inside each shard: all_to_all scatters heads / gathers sequence
+    (H -> H/sp, S/sp -> S), local full-sequence attention runs on the head
+    slice, and the inverse all_to_all restores sequence sharding — exactly
+    the reference's scatter_idx=2/gather_idx=1 then 1/2 pattern
+    (hunyuan/modules/attenion.py:43-55).
+    """
+    from jax import shard_map
+
+    sp = mesh.shape[axis]
+    H, S = q.shape[1], q.shape[2]
+    assert H % sp == 0, f"heads {H} not divisible by sp={sp}"
+    assert S % sp == 0, f"seq {S} not divisible by sp={sp}"
+
+    def local(q, k, v):
+        # local in: (B, H, S/sp, D) -> (B, H/sp, S, D)
+        a2a = lambda x: jax.lax.all_to_all(
+            x, axis, split_axis=1, concat_axis=2, tiled=True
+        )
+        q, k, v = a2a(q), a2a(k), a2a(v)
+        from mixgrpo_tpu.ops.attention import attention
+
+        o = attention(q, k, v, impl=base_impl)
+        return jax.lax.all_to_all(o, axis, split_axis=2, concat_axis=1, tiled=True)
+
+    spec = P(None, None, axis, None)
+    return shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+    )(q, k, v)
