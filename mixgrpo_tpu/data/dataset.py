@@ -85,7 +85,13 @@ class LatentDataset:
     draw is a pure function of (seed, epoch, index) for reproducibility.
     """
 
-    def __init__(self, cache_dir: str, cfg_rate: float = 0.0, seed: int = 0):
+    def __init__(
+        self,
+        cache_dir: str,
+        cfg_rate: float = 0.0,
+        seed: int = 0,
+        use_native: bool | None = None,
+    ):
         self.cache_dir = cache_dir
         self.cfg_rate = cfg_rate
         self.seed = seed
@@ -97,23 +103,37 @@ class LatentDataset:
             for r in range(sh["num"]):
                 self._index.append((si, r))
         self._handles: Dict[int, object] = {}
+        if use_native is None:
+            from mixgrpo_tpu.data.native_loader import NativeShardReader
+
+            use_native = NativeShardReader.available()
+        self.use_native = use_native
 
     def __len__(self) -> int:
         return self.manifest["num_samples"]
 
     def _shard(self, si: int):
         if si not in self._handles:
-            from safetensors import safe_open
-
             path = os.path.join(self.cache_dir, self.manifest["shards"][si]["file"])
-            self._handles[si] = safe_open(path, framework="numpy")
+            if self.use_native:
+                from mixgrpo_tpu.data.native_loader import NativeShardReader
+
+                self._handles[si] = NativeShardReader(path)
+            else:
+                from safetensors import safe_open
+
+                self._handles[si] = safe_open(path, framework="numpy")
         return self._handles[si]
 
     def get(self, i: int, epoch: int = 0) -> Dict[str, object]:
         si, row = self._index[i]
         sh = self._shard(si)
-        emb = np.asarray(sh.get_slice("prompt_embed")[row], np.float32)
-        pooled = np.asarray(sh.get_slice("pooled")[row], np.float32)
+        if self.use_native:
+            emb = sh.gather_rows("prompt_embed", [row])[0]
+            pooled = sh.gather_rows("pooled", [row])[0]
+        else:
+            emb = np.asarray(sh.get_slice("prompt_embed")[row], np.float32)
+            pooled = np.asarray(sh.get_slice("pooled")[row], np.float32)
         caption = self.captions[i]
         if self.cfg_rate > 0:
             rng = np.random.default_rng((self.seed, epoch, i))
