@@ -159,7 +159,7 @@ def _qk_norm(q, k, qscale, kscale, eps):
 
 
 def _double_block(p, cfg: FluxConfig, img, txt, vec, rope_cos, rope_sin,
-                  attn_impl, dtype):
+                  attn_impl, dtype, attn_mask=None):
     """Double-stream MMDiT block (exemplar models.py:23-246)."""
     H, eps = cfg.num_heads, cfg.eps
     i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2 = L.modulation(
@@ -186,7 +186,7 @@ def _double_block(p, cfg: FluxConfig, img, txt, vec, rope_cos, rope_sin,
     q = apply_rope(q, rope_cos, rope_sin)
     k = apply_rope(k, rope_cos, rope_sin)
 
-    out = _merge_heads(attention(q, k, v, impl=attn_impl))
+    out = _merge_heads(attention(q, k, v, mask=attn_mask, impl=attn_impl))
     Lt = txt.shape[1]
     txt_attn, img_attn = out[:, :Lt], out[:, Lt:]
 
@@ -204,7 +204,8 @@ def _double_block(p, cfg: FluxConfig, img, txt, vec, rope_cos, rope_sin,
     return img, txt
 
 
-def _single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl, dtype):
+def _single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl,
+                  dtype, attn_mask=None):
     """Single-stream block with fused projections (exemplar models.py:248-369)."""
     H, h, mh, eps = cfg.num_heads, cfg.hidden_size, cfg.mlp_hidden, cfg.eps
     shift, scale, gate = L.modulation(p["mod"], vec, 3, dtype)
@@ -218,7 +219,7 @@ def _single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl, dty
     q = apply_rope(q, rope_cos, rope_sin)
     k = apply_rope(k, rope_cos, rope_sin)
 
-    attn_out = _merge_heads(attention(q, k, v, impl=attn_impl))
+    attn_out = _merge_heads(attention(q, k, v, mask=attn_mask, impl=attn_impl))
     out = L.linear(
         p["linear2"], jnp.concatenate([attn_out, L.gelu_tanh(mlp)], axis=-1), dtype
     )
