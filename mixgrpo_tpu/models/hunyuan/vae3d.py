@@ -1,0 +1,199 @@
+"""Causal 3D VAE decoder (HunyuanVideo) in JAX (NDHWC).
+
+Rebuild of zqqqqz2000/MixGRPO fastvideo/models/hunyuan/vae/
+{autoencoder_kl_causal_3d.py, unet_causal_3d_blocks.py, vae.py} (decoder
+path).  Structure:
+
+  - CausalConv3d: temporal padding (k-1, 0) replicate — frame t sees only
+    frames <= t (unet_causal_3d_blocks.py:52-90); spatial SAME padding;
+  - decoder: conv_in -> mid (resnet, per-frame spatial attention, resnet)
+    -> 4 up blocks (3 resnets each) -> GroupNorm + SiLU -> conv_out;
+  - upsampling (vae.py:196-226): spatial 2x in blocks 0-2, temporal 2x in
+    blocks 1-2 (4x time / 8x space compression); the *first frame* is
+    never temporally duplicated (split (1, T-1) upsample,
+    unet_causal_3d_blocks.py:173-186) so T_out = 1 + (T_in - 1) * ratio;
+  - latent scaling 0.476986 applied by the caller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class CausalVAEConfig:
+    latent_channels: int = 16
+    out_channels: int = 3
+    block_out_channels: tuple = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    time_compression_ratio: int = 4
+    spatial_compression_ratio: int = 8
+    scaling_factor: float = 0.476986
+
+    @classmethod
+    def hunyuan_video(cls) -> "CausalVAEConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "CausalVAEConfig":
+        return cls(latent_channels=4, block_out_channels=(8, 8, 16, 16),
+                   norm_num_groups=4)
+
+
+def _conv3d_init(key, k, cin, cout):
+    scale = (k * k * k * cin) ** -0.5
+    return {
+        "w": jax.random.uniform(key, (k, k, k, cin, cout), jnp.float32, -scale, scale),
+        "b": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def _causal_conv3d(p, x, dtype=None):
+    """x: (B, T, H, W, C); temporal left-pad replicate, spatial SAME."""
+    dtype = dtype or x.dtype
+    kt, kh, kw = p["w"].shape[:3]
+    first = jnp.repeat(x[:, :1], kt - 1, axis=1) if kt > 1 else None
+    xt = jnp.concatenate([first, x], axis=1) if first is not None else x
+    y = jax.lax.conv_general_dilated(
+        xt.astype(dtype), p["w"].astype(dtype),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return y + p["b"].astype(dtype)
+
+
+def _gn_init(c):
+    return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def _group_norm(p, x, groups, eps=1e-6):
+    b, t, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, t, h, w, groups, c // groups)
+    mu = jnp.mean(xf, axis=(1, 2, 3, 5), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 3, 5), keepdims=True)
+    xf = ((xf - mu) * jax.lax.rsqrt(var + eps)).reshape(b, t, h, w, c)
+    return (xf * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _resnet_init(key, cin, cout, groups):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "norm1": _gn_init(cin), "conv1": _conv3d_init(k1, 3, cin, cout),
+        "norm2": _gn_init(cout), "conv2": _conv3d_init(k2, 3, cout, cout),
+    }
+    if cin != cout:
+        p["shortcut"] = _conv3d_init(k3, 1, cin, cout)
+    return p
+
+
+def _resnet(p, x, groups, dtype):
+    h = _causal_conv3d(p["conv1"], jax.nn.silu(_group_norm(p["norm1"], x, groups)), dtype)
+    h = _causal_conv3d(p["conv2"], jax.nn.silu(_group_norm(p["norm2"], h, groups)), dtype)
+    skip = _causal_conv3d(p["shortcut"], x, dtype) if "shortcut" in p else x
+    return skip + h
+
+
+def _attn_init(key, c):
+    ks = jax.random.split(key, 4)
+    lin = lambda k: {"w": jax.random.normal(k, (c, c), jnp.float32) * (c**-0.5),
+                     "b": jnp.zeros((c,), jnp.float32)}
+    return {"norm": _gn_init(c), "q": lin(ks[0]), "k": lin(ks[1]),
+            "v": lin(ks[2]), "out": lin(ks[3])}
+
+
+def _frame_attn(p, x, groups, dtype):
+    """Per-frame single-head spatial attention (mid block)."""
+    b, t, h, w, c = x.shape
+    y = _group_norm(p["norm"], x, groups).reshape(b * t, h * w, c)
+    lin = lambda pp, z: z @ pp["w"].astype(z.dtype) + pp["b"].astype(z.dtype)
+    q, k, v = lin(p["q"], y), lin(p["k"], y), lin(p["v"], y)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * (c**-0.5), axis=-1).astype(v.dtype)
+    o = jnp.einsum("bqk,bkc->bqc", probs, v, preferred_element_type=jnp.float32)
+    o = lin(p["out"], o.astype(y.dtype))
+    return x + o.reshape(b, t, h, w, c)
+
+
+def _upsample(x, factor_t: int, factor_s: int):
+    """Nearest upsample; the first frame is never temporally duplicated."""
+    b, t, h, w, c = x.shape
+    if factor_t > 1 and t > 1:
+        first, rest = x[:, :1], x[:, 1:]
+        first = jax.image.resize(first, (b, 1, h * factor_s, w * factor_s, c), "nearest")
+        rest = jax.image.resize(
+            rest, (b, (t - 1) * factor_t, h * factor_s, w * factor_s, c), "nearest"
+        )
+        return jnp.concatenate([first, rest], axis=1)
+    return jax.image.resize(x, (b, t, h * factor_s, w * factor_s, c), "nearest")
+
+
+def _block_upsample_factors(cfg: CausalVAEConfig, bi: int):
+    """(spatial, temporal) upsample factors for up-block bi (vae.py:196-226):
+    spatial 2x while bi < log2(spatial_ratio); temporal 2x in the last
+    log2(time_ratio) non-final blocks."""
+    import math
+
+    n = len(cfg.block_out_channels)
+    n_spatial = int(math.log2(cfg.spatial_compression_ratio))
+    n_time = int(math.log2(cfg.time_compression_ratio))
+    is_final = bi == n - 1
+    up_s = 2 if bi < n_spatial else 1
+    up_t = 2 if (bi >= n - 1 - n_time and not is_final) else 1
+    return up_s, up_t
+
+
+def init_causal_vae_decoder(key, cfg: CausalVAEConfig) -> Dict[str, Any]:
+    chans = cfg.block_out_channels
+    top = chans[-1]
+    g = cfg.norm_num_groups
+    ks = jax.random.split(key, 8 + len(chans))
+    params: Dict[str, Any] = {
+        "conv_in": _conv3d_init(ks[0], 3, cfg.latent_channels, top),
+        "mid_res1": _resnet_init(ks[1], top, top, g),
+        "mid_attn": _attn_init(ks[2], top),
+        "mid_res2": _resnet_init(ks[3], top, top, g),
+        "norm_out": _gn_init(chans[0]),
+        "conv_out": _conv3d_init(ks[4], 3, chans[0], cfg.out_channels),
+    }
+    rev = list(reversed(chans))
+    blocks = []
+    cin = top
+    for bi, cout in enumerate(rev):
+        bkeys = jax.random.split(ks[5 + bi], cfg.layers_per_block + 2)
+        resnets = []
+        for li in range(cfg.layers_per_block + 1):
+            resnets.append(_resnet_init(bkeys[li], cin, cout, g))
+            cin = cout
+        up_s, up_t = _block_upsample_factors(cfg, bi)
+        blk = {"resnets": resnets}
+        if up_s > 1 or up_t > 1:
+            blk["upsample"] = _conv3d_init(bkeys[-1], 3, cout, cout)
+        blocks.append(blk)
+    params["up_blocks"] = blocks
+    return params
+
+
+def causal_vae_decode(
+    params, cfg: CausalVAEConfig, latents: jnp.ndarray, dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    """(B, T, h, w, latent_ch) -> (B, 1+(T-1)*4, 8h, 8w, 3) in [-1, 1]."""
+    g = cfg.norm_num_groups
+    x = _causal_conv3d(params["conv_in"], latents.astype(dtype))
+    x = _resnet(params["mid_res1"], x, g, dtype)
+    x = _frame_attn(params["mid_attn"], x, g, dtype)
+    x = _resnet(params["mid_res2"], x, g, dtype)
+    for bi, blk in enumerate(params["up_blocks"]):
+        for rp in blk["resnets"]:
+            x = _resnet(rp, x, g, dtype)
+        if "upsample" in blk:
+            up_s, up_t = _block_upsample_factors(cfg, bi)
+            x = _upsample(x, up_t, up_s)
+            x = _causal_conv3d(blk["upsample"], x, dtype)
+    x = jax.nn.silu(_group_norm(params["norm_out"], x, g))
+    return _causal_conv3d(params["conv_out"], x).astype(jnp.float32)
