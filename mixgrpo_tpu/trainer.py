@@ -207,6 +207,32 @@ def make_optimizer(
     )
 
 
+def get_optimizer(
+    name: str = "adamw",
+    learning_rate: float = 1e-5,
+    weight_decay: float = 1e-4,
+    max_grad_norm: float = 1.0,
+    **kw,
+) -> optax.GradientTransformation:
+    """Optimizer factory (reference fastvideo/utils/optimizer.py:1-78 exposes
+    adam/adamw/adamw8bit/prodigy; 8-bit and prodigy are CUDA-ecosystem
+    packages — on TPU adam/adamw cover the used surface, and anything else
+    composes from optax)."""
+    if name == "adamw":
+        return make_optimizer(
+            learning_rate=learning_rate, weight_decay=weight_decay,
+            max_grad_norm=max_grad_norm, **kw,
+        )
+    if name == "adam":
+        return optax.chain(
+            optax.clip_by_global_norm(max_grad_norm),
+            optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
+        )
+    raise ValueError(
+        f"optimizer {name!r} not supported on TPU (use adam/adamw)"
+    )
+
+
 def build_update_batch(
     rollout_latents,  # (B, T+1, L, C)
     rollout_log_probs,  # (B, T)
