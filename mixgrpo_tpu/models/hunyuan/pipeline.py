@@ -1,0 +1,112 @@
+"""HunyuanVideo text-to-video sampling pipeline.
+
+Counterpart of the reference's legacy video inference stack
+(zqqqqz2000/MixGRPO fastvideo/models/hunyuan/inference.py
+``HunyuanVideoSampler`` + hunyuan/diffusion/pipelines/
+pipeline_hunyuan_video.py): flow-match Euler sampling with the
+time-shifted discrete schedule, embedded (distilled) guidance, and causal
+3D VAE decoding.  Text conditioning enters as precomputed LLM hidden
+states + CLIP pooled embeddings (the reference's TextEncoder wrapper runs
+an external LLM; our data path treats encoders as upstream assets).
+
+TPU-first: the T-step denoising loop is one jitted ``lax.scan`` via
+solvers/rollout.py with an all-deterministic mask.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixgrpo_tpu.models.hunyuan.model import (
+    HunyuanVideoConfig, hunyuan_video_forward,
+)
+from mixgrpo_tpu.models.hunyuan.scheduler import FlowMatchDiscreteScheduler
+from mixgrpo_tpu.models.hunyuan.vae3d import (
+    CausalVAEConfig, causal_vae_decode,
+)
+from mixgrpo_tpu.solvers.rollout import SamplerConfig, run_rollout
+
+
+class HunyuanVideoPipeline:
+    def __init__(
+        self,
+        cfg: HunyuanVideoConfig,
+        params,
+        *,
+        vae_cfg: Optional[CausalVAEConfig] = None,
+        vae_params=None,
+        num_steps: int = 50,
+        shift: float = 7.0,
+        guidance_scale: float = 6.0,
+        dtype=jnp.bfloat16,
+        attn_impl: str = "auto",
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.vae_cfg, self.vae_params = vae_cfg, vae_params
+        self.num_steps = num_steps
+        self.guidance_scale = guidance_scale
+        self.dtype = dtype
+        self.attn_impl = attn_impl
+        sched = FlowMatchDiscreteScheduler(shift=shift)
+        sched.set_timesteps(num_steps)
+        self.sigmas = sched.sigmas
+        self._sample = jax.jit(self._sample_impl)
+
+    def _sample_impl(self, params, z0, txt, pooled, text_mask, rng):
+        B, T, H, W, C = z0.shape
+
+        def model_fn(z, sigma):
+            zz = z.reshape(B, T, H, W, C)
+            t = jnp.broadcast_to(sigma, (B,))
+            g = jnp.full((B,), self.guidance_scale, jnp.float32)
+            out = hunyuan_video_forward(
+                params, self.cfg, zz.astype(self.dtype), txt, pooled, t, g,
+                text_mask, dtype=self.dtype, attn_impl=self.attn_impl,
+                remat=False,
+            )
+            return out.reshape(B, -1)
+
+        scfg = SamplerConfig(num_steps_max=self.num_steps, eta=0.0)
+        out = run_rollout(
+            scfg, model_fn, z0.reshape(B, -1).astype(jnp.float32),
+            sigmas=jnp.asarray(self.sigmas),
+            deterministic=jnp.ones(self.num_steps, bool),
+            num_steps=self.num_steps, rng=rng,
+        )
+        return out.final_latents.reshape(B, T, H, W, C)
+
+    def __call__(
+        self,
+        txt: jnp.ndarray,  # (B, L, text_states_dim) LLM hidden states
+        pooled: jnp.ndarray,  # (B, text_states_dim_2)
+        *,
+        video_length: int,
+        height: int,
+        width: int,
+        text_mask: Optional[jnp.ndarray] = None,
+        rng=None,
+    ) -> jnp.ndarray:
+        """Returns decoded video in [0, 1] (or raw latents without a VAE)."""
+        rng = rng if rng is not None else jax.random.key(0)
+        B = txt.shape[0]
+        lt = (video_length - 1) // (
+            self.vae_cfg.time_compression_ratio if self.vae_cfg else 4
+        ) + 1
+        lh, lw = height // 8, width // 8
+        z0 = jax.random.normal(
+            rng, (B, lt, lh, lw, self.cfg.in_channels), jnp.float32
+        )
+        if text_mask is None:
+            text_mask = jnp.ones(txt.shape[:2], jnp.int32)
+        lat = self._sample(self.params, z0, txt, pooled, text_mask, rng)
+        if self.vae_params is None:
+            return lat
+        lat = lat / self.vae_cfg.scaling_factor
+        video = causal_vae_decode(self.vae_params, self.vae_cfg, lat,
+                                  dtype=self.dtype)
+        return jnp.clip(video * 0.5 + 0.5, 0.0, 1.0)
