@@ -51,7 +51,7 @@ def test_all_gather_and_broadcast():
     gathered = jax.jit(jax.shard_map(
         lambda x: all_gather_seq(x, "sp", dim=1), mesh=mesh,
         in_specs=P(None, "sp", None), out_specs=P(None, None, None),
-        check_rep=False,  # all_gather output replication isn't inferred
+        check_vma=False,  # all_gather output replication isn't inferred
     ))(xs)
     np.testing.assert_allclose(np.asarray(gathered), np.asarray(x))
 
