@@ -16,7 +16,7 @@ adapter params — the 12B base stays frozen (and can live in bf16).
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mixgrpo_tpu.models.mochi.latents import normalize_dit_input
 from mixgrpo_tpu.models.mochi.model import MochiConfig, mochi_forward
 from mixgrpo_tpu.solvers.distill import linear_quadratic_schedule
 

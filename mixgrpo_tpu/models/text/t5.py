@@ -23,8 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mixgrpo_tpu.ops.attention import attention  # not used: T5 needs bias
-
 
 @dataclasses.dataclass(frozen=True)
 class T5Config:

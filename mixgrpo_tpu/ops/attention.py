@@ -17,8 +17,6 @@ Backends:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

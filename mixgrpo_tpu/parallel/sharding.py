@@ -22,7 +22,7 @@ possible, so they compose.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict
+from typing import Any
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

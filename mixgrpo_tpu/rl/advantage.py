@@ -19,7 +19,7 @@ Conventions matched to the reference:
 
 from __future__ import annotations
 
-from typing import Dict, Mapping
+from typing import Mapping
 
 import jax.numpy as jnp
 

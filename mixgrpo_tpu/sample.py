@@ -20,7 +20,7 @@ import argparse
 import json
 import math
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

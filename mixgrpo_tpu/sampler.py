@@ -16,7 +16,6 @@ sigma floored to 1e-3; reproduced here.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

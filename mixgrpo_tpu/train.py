@@ -26,7 +26,6 @@ reward logging gather.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from typing import Callable, Dict, Optional
@@ -51,7 +50,7 @@ from mixgrpo_tpu.solvers.schedule import (
     deterministic_mask, flash_post_schedule, sigma_schedule,
 )
 from mixgrpo_tpu.trainer import (
-    UpdateBatch, build_update_batch, make_optimizer, make_update_fns,
+    build_update_batch, make_optimizer, make_update_fns,
 )
 from mixgrpo_tpu.utils.checkpoint import CheckpointManager, export_flux_safetensors
 from mixgrpo_tpu.utils.logging import MetricLogger, main_print
@@ -259,10 +258,14 @@ class GRPOTrainer:
             )
             adv = global_advantages(rewards, gathered.reshape(-1))
 
-        # training timesteps (:514-522)
-        T_sched = num_steps
+        # training timesteps (:514-522); ignore_last drops the final MDP
+        # step's pair (the reference realizes this via an unconditional
+        # double truncation, train_grpo_flux.py:407-410 / SURVEY.md §8.5)
         if cfg.grpo.training_strategy == "part":
-            train_ts = list(timesteps_train)
+            train_ts = [
+                t for t in timesteps_train
+                if not (cfg.grpo.ignore_last and t >= num_steps - 1)
+            ]
         else:
             if cfg.grpo.frozen_init_timesteps > 0:
                 train_ts = list(range(cfg.grpo.frozen_init_timesteps))

@@ -19,8 +19,7 @@ Log-prob recomputation parity (grpo_one_step):
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

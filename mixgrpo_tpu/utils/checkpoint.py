@@ -17,7 +17,6 @@ Counterpart of fastvideo/utils/checkpoint.py (zqqqqz2000/MixGRPO):
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
