@@ -223,6 +223,9 @@ class GRPOTrainer:
         sampling_time = time.time() - t0
         main_print(f"##### Sampling time per iteration: {sampling_time:.2f} s")
 
+        if self._decode is not None and getattr(self, "save_images", False):
+            self._save_first_image(images01)
+
         rewards_dict, successes_dict = self._compute_rewards(images01, captions)
 
         # advantages (:440-501)
@@ -334,8 +337,26 @@ class GRPOTrainer:
 
     # ------------------------------------------------------------------
 
+    def _save_first_image(self, images01):
+        """First decoded image per host per step (train_grpo_flux.py:290-293)."""
+        try:
+            from PIL import Image
+
+            img_dir = os.path.join(self.run_dir, "images")
+            os.makedirs(img_dir, exist_ok=True)
+            arr = np.asarray(images01[0])
+            Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(
+                    img_dir,
+                    f"flux_{self.global_step}_{jax.process_index()}.png",
+                )
+            )
+        except Exception as e:  # image dumps are best-effort observability
+            main_print(f"image save skipped: {e}")
+
     def train(self, loader: PromptLoader, save_images: bool = False):
         cfg = self.cfg
+        self.save_images = save_images
         it = iter(loader)
         while self.global_step < cfg.optim.max_train_steps:
             if (
