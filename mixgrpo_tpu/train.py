@@ -111,7 +111,8 @@ class GRPOTrainer:
             self.flux_cfg, self.sampler_cfg, cfg.ppo_config(), self.optimizer,
             self.sampler.rope_cos, self.sampler.rope_sin,
             guidance_scale=cfg.grpo.guidance_scale, dtype=dtype,
-            attn_impl=attn_impl, remat=cfg.optim.gradient_checkpointing,
+            attn_impl=attn_impl,
+            remat="dots" if cfg.optim.gradient_checkpointing else False,
             loss_scale=loss_scale,
         )
         self.window: SlidingWindowState = window_state_from_config(cfg)

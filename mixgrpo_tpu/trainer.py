@@ -98,7 +98,7 @@ def make_update_fns(
     guidance_scale: float = 3.5,
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
-    remat: bool = True,
+    remat="dots",
     loss_scale: float = 1.0,
 ):
     """Build jitted ``update_step(params, opt_state, batch, sigmas)``."""
