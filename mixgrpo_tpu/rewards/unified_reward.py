@@ -105,13 +105,21 @@ class UnifiedReward:
 
     def __init__(
         self,
-        api_url: str,
+        api_url: Union[str, Sequence[str]],
         default_question_type: str = "score",
         num_workers: int = 8,
         max_retries: int = 3,
         session=None,
+        rank: int = 0,
     ):
-        self.api_url = api_url.rstrip("/")
+        # multiple URLs are round-robined by rank (the reference assigns
+        # eval ranks across server replicas, eval_reward.py:121-126);
+        # a comma-separated string is also accepted
+        if isinstance(api_url, str):
+            urls = [u.strip() for u in api_url.split(",") if u.strip()]
+        else:
+            urls = list(api_url)
+        self.api_url = urls[rank % len(urls)].rstrip("/")
         self.default_question_type = default_question_type
         self.num_workers = num_workers
         self.max_retries = max_retries
