@@ -221,7 +221,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
             name = "--" + f.name
             default = f.default if f.default is not dataclasses.MISSING else None
             if f.type == "bool" or isinstance(default, bool):
-                p.add_argument(name, action="store_true", default=default)
+                # supports both --flag and --no-flag (several recipe
+                # defaults are True and must be disablable)
+                p.add_argument(
+                    name, action=argparse.BooleanOptionalAction, default=default
+                )
             else:
                 typ = {int: int, float: float}.get(type(default), str)
                 p.add_argument(name, type=typ, default=default)
