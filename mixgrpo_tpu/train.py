@@ -328,9 +328,18 @@ class GRPOTrainer:
                     agg[k] = agg.get(k, 0.0) + float(v)
 
         metrics = {k: v / max(n_updates, 1) for k, v in agg.items()}
-        metrics["reward"] = float(jnp.mean(rewards))
+        # reward means are gathered across hosts for logging, matching the
+        # reference's all_gathered reward stream (train_grpo_flux.py:417-437)
+        def _global_mean(x) -> float:
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                x = multihost_utils.process_allgather(jnp.asarray(x))
+            return float(jnp.mean(jnp.asarray(x)))
+
+        metrics["reward"] = _global_mean(rewards)
         for name, vals in rewards_dict.items():
-            metrics[f"reward/{name}"] = float(np.mean(np.asarray(vals, np.float64)))
+            metrics[f"reward/{name}"] = _global_mean(np.asarray(vals, np.float64))
         metrics["cur_timestep"] = self.window.cur_timestep
         metrics["cur_iter_in_group"] = self.window.cur_iter_in_group
         metrics["sampling_time"] = sampling_time
