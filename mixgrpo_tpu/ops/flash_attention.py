@@ -41,8 +41,8 @@ def _interpret() -> bool:
         return True
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale, kv_len, block_k):
+def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, o_ref, lse_ref, m_scr, l_scr,
+                acc_scr, *, scale, kv_len, block_k):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -57,6 +57,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BQ, BK)
+    s = s + kbias_ref[:]  # (1, BK) additive key mask (0 or NEG_INF)
 
     # mask key-side padding
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -85,7 +86,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         )
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kbias_ref,
                 dk_ref, dv_ref, dk_scr, dv_scr, *, scale, kv_len, block_k,
                 block_q, q_len):
     qi = pl.program_id(2)
@@ -101,7 +102,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]  # (BK, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
+    ) * scale + kbias_ref[:]  # (BQ, BK)
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     valid = jnp.logical_and(col < kv_len, row < q_len)
@@ -130,8 +131,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               dq_scr, *, scale, kv_len, block_k):
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kbias_ref,
+               dq_ref, dq_scr, *, scale, kv_len, block_k):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -143,7 +144,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    ) * scale + kbias_ref[:]
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     lse = lse_ref[0][:, :1]
     p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
@@ -172,7 +173,7 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _fwd_impl(q, k, v, scale, block_q, block_k):
+def _fwd_impl(q, k, v, kbias, scale, block_q, block_k):
     B, H, S, D = q.shape
     Sk = k.shape[2]
     bq, bk = min(block_q, S), min(block_k, Sk)
@@ -181,7 +182,9 @@ def _fwd_impl(q, k, v, scale, block_q, block_k):
     qf = _pad_to(q.reshape(B * H, S, D), Sp, 1)
     kf = _pad_to(k.reshape(B * H, Sk, D), Skp, 1)
     vf = _pad_to(v.reshape(B * H, Sk, D), Skp, 1)
+    kb = _pad_to(kbias, Skp, 1)  # (B, Skp)
 
+    H_static = H
     grid = (B * H, Sp // bq, Skp // bk)
     kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=Sk, block_k=bk)
     o, lse = pl.pallas_call(
@@ -191,6 +194,7 @@ def _fwd_impl(q, k, v, scale, block_q, block_k):
             pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk), lambda b, qi, ki: (b // H_static, ki)),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
@@ -206,23 +210,23 @@ def _fwd_impl(q, k, v, scale, block_q, block_k):
             pltpu.VMEM((bq, D), jnp.float32),
         ],
         interpret=_interpret(),
-    )(qf, kf, vf)
+    )(qf, kf, vf, kb)
     return o[:, :S].reshape(B, H, S, D), lse[:, :S]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, scale, block_q, block_k):
-    o, _ = _fwd_impl(q, k, v, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, kbias, scale, block_q, block_k):
+    o, _ = _fwd_impl(q, k, v, kbias, scale, block_q, block_k)
     return o
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k):
-    o, lse = _fwd_impl(q, k, v, scale, block_q, block_k)
-    return o, (q, k, v, o, lse)
+def _flash_fwd(q, k, v, kbias, scale, block_q, block_k):
+    o, lse = _fwd_impl(q, k, v, kbias, scale, block_q, block_k)
+    return o, (q, k, v, kbias, o, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, res, do):
-    q, k, v, o, lse = res
+    q, k, v, kbias, o, lse = res
     B, H, S, D = q.shape
     Sk = k.shape[2]
     bq, bk = min(block_q, S), min(block_k, Sk)
@@ -238,6 +242,8 @@ def _flash_bwd(scale, block_q, block_k, res, do):
     dof = _pad_to(do.reshape(B * H, S, D), Sp, 1)
     lsef = _pad_to(lse.reshape(B * H, S, _LANES), Sp, 1)
     deltaf = _pad_to(delta.reshape(B * H, S, _LANES), Sp, 1)
+    kb = _pad_to(kbias, Skp, 1)
+    H_static = H
 
     dkv_kernel = functools.partial(
         _dkv_kernel, scale=scale, kv_len=Sk, block_k=bk, block_q=bq, q_len=S
@@ -252,6 +258,7 @@ def _flash_bwd(scale, block_q, block_k, res, do):
             pl.BlockSpec((1, bq, D), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, bq, _LANES), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, bq, _LANES), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, bk), lambda b, ki, qi: (b // H_static, ki)),
         ],
         out_specs=[
             pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0)),
@@ -266,7 +273,7 @@ def _flash_bwd(scale, block_q, block_k, res, do):
             pltpu.VMEM((bk, D), jnp.float32),
         ],
         interpret=_interpret(),
-    )(qf, kf, vf, dof, lsef, deltaf)
+    )(qf, kf, vf, dof, lsef, deltaf, kb)
 
     dq_kernel = functools.partial(_dq_kernel, scale=scale, kv_len=Sk, block_k=bk)
     dq = pl.pallas_call(
@@ -279,17 +286,19 @@ def _flash_bwd(scale, block_q, block_k, res, do):
             pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk), lambda b, qi, ki: (b // H_static, ki)),
         ],
         out_specs=pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Sp, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
         interpret=_interpret(),
-    )(qf, kf, vf, dof, lsef, deltaf)
+    )(qf, kf, vf, dof, lsef, deltaf, kb)
 
     return (
         dq[:, :S].reshape(B, H, S, D),
         dk[:, :Sk].reshape(B, H, Sk, D),
         dv[:, :Sk].reshape(B, H, Sk, D),
+        jnp.zeros_like(kbias),  # mask bias is non-trainable
     )
 
 
@@ -297,12 +306,26 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q, k, v, mask=None, block_q: int = 512, block_k: int = 1024):
-    """Flash attention over (B, H, S, D); full bidirectional (mask=None).
+    """Flash attention over (B, H, S, D); optional key-side mask.
 
-    The MMDiT joint sequence needs no mask (text is fixed-length 512 in the
-    cached-embedding pipeline); key-side *padding* introduced by block
+    ``mask`` may be None (full bidirectional — the FLUX cached-embedding
+    path), a (B, S_k) boolean, or a broadcastable (B, 1, 1, S_k) boolean
+    (True = attend); it enters the kernel as an additive 0/-inf row bias
+    (HunyuanVideo's padded-text masking, use_attention_mask).  Query-
+    dependent masks are not supported.  Key-side *padding* from block
     alignment is masked internally.
     """
-    assert mask is None, "segment masks not supported yet (static MMDiT seq)"
+    B, H, S, D = q.shape
+    Sk = k.shape[2]
+    if mask is None:
+        kbias = jnp.zeros((B, Sk), jnp.float32)
+    else:
+        m = jnp.asarray(mask)
+        if m.ndim == 4:
+            assert m.shape[1] == 1 and m.shape[2] == 1, (
+                "only key-side masks supported", m.shape)
+            m = m[:, 0, 0, :]
+        assert m.shape == (B, Sk), (m.shape, (B, Sk))
+        kbias = jnp.where(m, 0.0, NEG_INF).astype(jnp.float32)
     scale = 1.0 / (q.shape[-1] ** 0.5)
-    return _flash(q, k, v, scale, block_q, block_k)
+    return _flash(q, k, v, kbias, scale, block_q, block_k)

@@ -60,3 +60,40 @@ def test_bf16_forward_close():
     got = flash_attention(q, k, v, block_q=64, block_k=64).astype(jnp.float32)
     want = _xla_attention(q, k, v).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_key_mask_matches_xla():
+    """Key-side boolean mask (padded text) forward + backward parity."""
+    import numpy as np
+
+    B, H, S, D = 2, 2, 96, 32
+    q, k, v = _rand_qkv(jax.random.key(5), B, H, S, D)
+    mask = np.ones((B, S), bool)
+    mask[0, 10:20] = False
+    mask[1, 50:] = False
+    m4 = jnp.asarray(mask)[:, None, None, :]
+
+    got = flash_attention(q, k, v, mask=m4, block_q=64, block_k=64)
+    want = _xla_attention(q, k, v, mask=m4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+    g1 = jax.grad(lambda *a: jnp.sum(
+        flash_attention(*a, mask=m4, block_q=64, block_k=64) ** 2
+    ), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(_xla_attention(*a, mask=m4) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_key_mask_2d_form():
+    import numpy as np
+
+    q, k, v = _rand_qkv(jax.random.key(6), 1, 1, 64, 32)
+    mask = np.ones((1, 64), bool)
+    mask[0, 32:] = False
+    a = flash_attention(q, k, v, mask=jnp.asarray(mask), block_q=64, block_k=64)
+    b = flash_attention(q[:, :, :, :], k[:, :, :32], v[:, :, :32],
+                        block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
