@@ -118,3 +118,23 @@ def test_mochi_caption_affects_output():
     o1 = mochi_forward(params, cfg, lat, txt1, t, dtype=jnp.float32, remat=False)
     o2 = mochi_forward(params, cfg, lat, txt2, t, dtype=jnp.float32, remat=False)
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_hunyuan_pallas_masked_attention_matches_xla():
+    """The joint text-mask path through the Pallas kernel (interpret mode)."""
+    cfg = HunyuanVideoConfig.tiny()
+    params = init_hunyuan_video(jax.random.key(0), cfg)
+    B, T, H, W = 1, 2, 8, 8
+    lat = jax.random.normal(jax.random.key(1), (B, T, H, W, cfg.in_channels))
+    txt = jax.random.normal(jax.random.key(2), (B, 6, cfg.text_states_dim))
+    pooled = jax.random.normal(jax.random.key(3), (B, cfg.text_states_dim_2))
+    mask = jnp.asarray([[1, 1, 1, 0, 0, 0]])
+    t = jnp.full((B,), 0.4)
+    g = jnp.full((B,), 6.0)
+    want = hunyuan_video_forward(params, cfg, lat, txt, pooled, t, g, mask,
+                                 dtype=jnp.float32, attn_impl="xla", remat=False)
+    got = hunyuan_video_forward(params, cfg, lat, txt, pooled, t, g, mask,
+                                dtype=jnp.float32, attn_impl="pallas",
+                                remat=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
