@@ -70,6 +70,9 @@ class GRPOTrainer:
         text_len: int = 512,
         attn_impl: str = "auto",
         dtype=jnp.bfloat16,
+        use_lora: bool = False,
+        lora_rank: int = 16,
+        lora_alpha: float = 16.0,
     ):
         """``reward_fn(images01, captions) -> (rewards_dict, successes_dict)``
         overrides the model zoo (used for tests / synthetic rewards)."""
@@ -105,16 +108,38 @@ class GRPOTrainer:
             lr_num_cycles=cfg.optim.lr_num_cycles,
             lr_power=cfg.optim.lr_power,
         )
-        self.opt_state = self.optimizer.init(self.params)
         loss_scale = float(cfg.grpo.loss_coef)
-        self.update_step, self.accum_step, self.apply_step = make_update_fns(
-            self.flux_cfg, self.sampler_cfg, cfg.ppo_config(), self.optimizer,
-            self.sampler.rope_cos, self.sampler.rope_sin,
-            guidance_scale=cfg.grpo.guidance_scale, dtype=dtype,
-            attn_impl=attn_impl,
-            remat="dots" if cfg.optim.gradient_checkpointing else False,
-            loss_scale=loss_scale,
-        )
+        remat = "dots" if cfg.optim.gradient_checkpointing else False
+        self.use_lora = use_lora
+        if use_lora:
+            from mixgrpo_tpu.lora import apply_lora, init_lora
+            from mixgrpo_tpu.trainer import make_lora_update_fns
+
+            lora = init_lora(
+                jax.random.key(cfg.grpo.seed + 1), self.params,
+                rank=lora_rank, alpha=lora_alpha,
+            )
+            self.lora_factors = lora["factors"]
+            self.lora_meta = {"rank": lora["rank"], "alpha": lora["alpha"]}
+            self.opt_state = self.optimizer.init(self.lora_factors)
+            self.lora_update = make_lora_update_fns(
+                self.flux_cfg, self.sampler_cfg, cfg.ppo_config(),
+                self.optimizer, self.sampler.rope_cos, self.sampler.rope_sin,
+                guidance_scale=cfg.grpo.guidance_scale, dtype=dtype,
+                attn_impl=attn_impl, remat=remat, loss_scale=loss_scale,
+            )
+            self._merge = jax.jit(
+                lambda base, f: apply_lora(base, {**self.lora_meta, "factors": f})
+            )
+        else:
+            self.opt_state = self.optimizer.init(self.params)
+            self.update_step, self.accum_step, self.apply_step = make_update_fns(
+                self.flux_cfg, self.sampler_cfg, cfg.ppo_config(), self.optimizer,
+                self.sampler.rope_cos, self.sampler.rope_sin,
+                guidance_scale=cfg.grpo.guidance_scale, dtype=dtype,
+                attn_impl=attn_impl, remat=remat,
+                loss_scale=loss_scale,
+            )
         self.window: SlidingWindowState = window_state_from_config(cfg)
         self.base_sigmas = sigma_schedule(cfg.grpo.sampling_steps, cfg.grpo.shift)
         self.global_step = 0
@@ -140,11 +165,16 @@ class GRPOTrainer:
     # ------------------------------------------------------------------
 
     def _resume(self):
+        tmpl = self.lora_factors if self.use_lora else self.params
         p, o, win_d, step = self.ckpt.restore(
-            params_template=jax.tree.map(jnp.zeros_like, self.params),
+            params_template=jax.tree.map(jnp.zeros_like, tmpl),
             opt_state_template=jax.tree.map(jnp.zeros_like, self.opt_state),
         )
-        self.params, self.opt_state, self.global_step = p, o, step
+        if self.use_lora:
+            self.lora_factors = p
+        else:
+            self.params = p
+        self.opt_state, self.global_step = o, step
         if win_d:
             self.window = SlidingWindowState.from_dict(win_d)
         main_print(f"resumed from step {step}")
@@ -207,6 +237,10 @@ class GRPOTrainer:
             jax.random.key(cfg.grpo.sampler_seed), self.global_step
         )
         k_noise, k_roll, k_bal = jax.random.split(rng, 3)
+        rollout_params = (
+            self._merge(self.params, self.lora_factors)
+            if self.use_lora else self.params
+        )
         z0 = self.sampler.init_noise(
             k_noise, B, same_noise_groups=G if cfg.grpo.init_same_noise else None
         )
@@ -215,7 +249,7 @@ class GRPOTrainer:
         t0 = time.time()
         with self.mesh:
             out = self.sampler.rollout(
-                self.params, z0, txt, pooled, sigmas, det, num_steps, k_roll
+                rollout_params, z0, txt, pooled, sigmas, det, num_steps, k_roll
             )
             if self._decode is not None:
                 images01 = self._decode(self.vae_params, out.final_latents)
@@ -320,9 +354,15 @@ class GRPOTrainer:
                     out.all_latents, out.all_log_probs, adv, txt, pooled,
                     sample_idx, t_idx,
                 )
-                self.params, self.opt_state, m = self.update_step(
-                    self.params, self.opt_state, ub, sig_dev
-                )
+                if self.use_lora:
+                    self.lora_factors, self.opt_state, m = self.lora_update(
+                        self.lora_factors, self.opt_state, self.lora_meta,
+                        self.params, ub, sig_dev,
+                    )
+                else:
+                    self.params, self.opt_state, m = self.update_step(
+                        self.params, self.opt_state, ub, sig_dev
+                    )
                 n_updates += 1
                 for k, v in m.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
@@ -388,9 +428,11 @@ class GRPOTrainer:
         self.metrics.close()
 
     def save_checkpoint(self):
+        train_state = self.lora_factors if self.use_lora else self.params
         self.ckpt.save(
-            self.global_step, self.params, self.opt_state,
+            self.global_step, train_state, self.opt_state,
             window_state=self.window.to_dict(),
+            extra={"use_lora": self.use_lora},
         )
         if jax.process_index() == 0:
             path = os.path.join(

@@ -206,6 +206,59 @@ def make_optimizer(
     )
 
 
+def make_lora_update_fns(
+    flux_cfg: FluxConfig,
+    sampler_cfg: SamplerConfig,
+    ppo_cfg: PPOConfig,
+    optimizer: optax.GradientTransformation,
+    rope_cos,
+    rope_sin,
+    *,
+    guidance_scale: float = 3.5,
+    dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    remat="dots",
+    loss_scale: float = 1.0,
+):
+    """LoRA variant of ``make_update_fns``: the base params stay frozen
+    (first arg, non-donated) and gradients flow only into the adapter
+    factors.  Counterpart of the reference's peft-LoRA training surface
+    (fastvideo/utils/checkpoint.py:257-314)."""
+    from mixgrpo_tpu.lora import apply_lora
+
+    def loss_fn(factors, lora_meta, base_params, batch: UpdateBatch, sigmas):
+        params = apply_lora(base_params, {**lora_meta, "factors": factors})
+        N = batch.latents.shape[0]
+        sigma = jnp.take(sigmas, batch.t_index)
+        t = quantized_timestep(sigma)
+        g = jnp.full((N,), guidance_scale, jnp.float32)
+        pred = flux_forward(
+            params, flux_cfg, batch.latents.astype(dtype), batch.txt,
+            batch.pooled, t, g, rope_cos, rope_sin,
+            dtype=dtype, attn_impl=attn_impl, remat=remat,
+        )
+        new_lp = recompute_log_prob(
+            sampler_cfg, pred, batch.latents.astype(jnp.float32),
+            batch.next_latents.astype(jnp.float32), sigmas, batch.t_index,
+        )
+        return ppo_loss(
+            new_lp, batch.old_log_probs, batch.advantages, ppo_cfg,
+            loss_scale=loss_scale,
+        )
+
+    def update_step(factors, opt_state, lora_meta, base_params, batch, sigmas):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            factors, lora_meta, base_params, batch, sigmas
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, factors)
+        factors = optax.apply_updates(factors, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return factors, opt_state, metrics
+
+    return jax.jit(update_step, donate_argnums=(0, 1), static_argnums=())
+
+
 def get_optimizer(
     name: str = "adamw",
     learning_rate: float = 1e-5,
