@@ -78,3 +78,33 @@ def test_flux_forward_under_sp_matches_dense():
         )
     finally:
         set_sp_context(None)
+
+
+def test_grpo_trainer_under_sequence_parallelism(tmp_path):
+    """Full GRPO iteration with sp=2 Ulysses attention end-to-end."""
+    import jax.numpy as jnp
+
+    from tests.test_train_app import _brightness_reward, _make_cache, _make_cfg
+    from mixgrpo_tpu.data.dataset import LatentDataset, PromptLoader
+    from mixgrpo_tpu.models.flux.vae import VAEConfig, init_vae_decoder
+    from mixgrpo_tpu.train import GRPOTrainer
+
+    cfg = _make_cfg(tmp_path, steps=1)
+    cfg.mesh = MeshConfig(dp=2, fsdp=2, sp=2, tp=1)
+    flux_cfg = FluxConfig.tiny()
+    vae_cfg = VAEConfig.tiny(latent_channels=flux_cfg.in_channels // 4)
+    vae_params = init_vae_decoder(jax.random.key(5), vae_cfg)
+    trainer = GRPOTrainer(
+        cfg, flux_cfg=flux_cfg, vae_cfg=vae_cfg, vae_params=vae_params,
+        reward_fn=_brightness_reward, text_len=8,
+        attn_impl="ulysses", dtype=jnp.float32,
+    )
+    trainer.reward_weights = {"synthetic": 1.0}
+    set_sp_context(trainer.mesh, "sp")
+    try:
+        _make_cache(tmp_path, cfg, flux_cfg)
+        loader = PromptLoader(LatentDataset(str(tmp_path / "cache")), 1, seed=0)
+        trainer.train(loader)
+        assert trainer.global_step == 1
+    finally:
+        set_sp_context(None)
