@@ -175,6 +175,43 @@ def _resnetp(state, name, dtype=np.float32):
     return p
 
 
+def load_vae_encoder_params(path: str, cfg: VAEConfig, dtype=np.float32):
+    """Encoder side of the AutoencoderKL checkpoint (encoder.* names)."""
+    import jax
+
+    st = load_safetensors_dir(path)
+    e = "encoder"
+    params = {
+        "conv_in": _convp(st, f"{e}.conv_in", dtype),
+        "mid_res1": _resnetp(st, f"{e}.mid_block.resnets.0", dtype),
+        "mid_res2": _resnetp(st, f"{e}.mid_block.resnets.1", dtype),
+        "norm_out": _gnp(st, f"{e}.conv_norm_out", dtype),
+        "conv_out": _convp(st, f"{e}.conv_out", dtype),
+    }
+    a = f"{e}.mid_block.attentions.0"
+    params["mid_attn"] = {
+        "norm": _gnp(st, f"{a}.group_norm", dtype),
+        "q": _lin(st, f"{a}.to_q", dtype),
+        "k": _lin(st, f"{a}.to_k", dtype),
+        "v": _lin(st, f"{a}.to_v", dtype),
+        "out": _lin(st, f"{a}.to_out.0", dtype),
+    }
+    blocks = []
+    for bi in range(len(cfg.block_out_channels)):
+        name = f"{e}.down_blocks.{bi}"
+        blk = {
+            "resnets": [
+                _resnetp(st, f"{name}.resnets.{li}", dtype)
+                for li in range(cfg.layers_per_block)
+            ]
+        }
+        if f"{name}.downsamplers.0.conv.weight" in st:
+            blk["downsample"] = _convp(st, f"{name}.downsamplers.0.conv", dtype)
+        blocks.append(blk)
+    params["down_blocks"] = blocks
+    return jax.tree.map(jnp.asarray, params)
+
+
 def load_vae_decoder_params(path: str, cfg: VAEConfig, dtype=np.float32):
     import jax
 

@@ -188,3 +188,85 @@ def vae_decode(
 def postprocess_images(images: jnp.ndarray) -> jnp.ndarray:
     """[-1, 1] -> [0, 1], clipped (diffusers VaeImageProcessor.postprocess)."""
     return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# encoder (completes the AutoencoderKL; the RL pipeline itself only decodes)
+# ---------------------------------------------------------------------------
+
+
+def init_vae_encoder(key, cfg: VAEConfig) -> Dict[str, Any]:
+    chans = cfg.block_out_channels
+    top = chans[-1]
+    ks = jax.random.split(key, 8 + len(chans))
+    params: Dict[str, Any] = {
+        "conv_in": _conv_init(ks[0], 3, 3, 3, chans[0]),
+        "mid_res1": _resnet_init(ks[1], top, top),
+        "mid_attn": _attn_init(ks[2], top),
+        "mid_res2": _resnet_init(ks[3], top, top),
+        "norm_out": _gn_init(top),
+        # 2x latent channels: (mean | logvar)
+        "conv_out": _conv_init(ks[4], 3, 3, top, 2 * cfg.latent_channels),
+    }
+    blocks = []
+    cin = chans[0]
+    for bi, cout in enumerate(chans):
+        bkeys = jax.random.split(ks[5 + bi], cfg.layers_per_block + 2)
+        resnets = []
+        for li in range(cfg.layers_per_block):
+            resnets.append(_resnet_init(bkeys[li], cin, cout))
+            cin = cout
+        blk = {"resnets": resnets}
+        if bi < len(chans) - 1:
+            blk["downsample"] = _conv_init(bkeys[-1], 3, 3, cout, cout)
+        blocks.append(blk)
+    params["down_blocks"] = blocks
+    return params
+
+
+def _downsample(p, x, dtype):
+    """Stride-2 conv with diffusers' asymmetric (0,1,0,1) padding."""
+    x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), p["w"].astype(dtype),
+        window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"].astype(dtype)
+
+
+def vae_encode(
+    params: Dict[str, Any],
+    cfg: VAEConfig,
+    images: jnp.ndarray,  # (B, H, W, 3) in [-1, 1]
+    rng=None,
+    dtype=jnp.bfloat16,
+    sample: bool = True,
+) -> jnp.ndarray:
+    """Encode images -> *normalized* latents (B, H/8, W/8, latent_channels).
+
+    Applies the FLUX posterior sampling plus the (z - shift) * scaling
+    normalization (inverse of ``denormalize_latents``)."""
+    g = cfg.norm_num_groups
+    x = _conv(params["conv_in"], images.astype(dtype))
+    n_blocks = len(params["down_blocks"])
+    for bi, blk in enumerate(params["down_blocks"]):
+        for rp in blk["resnets"]:
+            x = _resnet(rp, x, g, dtype)
+        if bi < n_blocks - 1:
+            x = _downsample(blk["downsample"], x, dtype)
+    x = _resnet(params["mid_res1"], x, g, dtype)
+    x = _spatial_attn(params["mid_attn"], x, g, dtype)
+    x = _resnet(params["mid_res2"], x, g, dtype)
+    x = _group_norm(params["norm_out"], x, g)
+    x = _conv(params["conv_out"], jax.nn.silu(x)).astype(jnp.float32)
+    mean, logvar = jnp.split(x, 2, axis=-1)
+    if sample:
+        assert rng is not None, "posterior sampling needs an rng"
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+        z = mean + std * jax.random.normal(rng, mean.shape, jnp.float32)
+    else:
+        z = mean
+    from mixgrpo_tpu.models.flux.latents import VAE_SCALING, VAE_SHIFT
+
+    return (z - VAE_SHIFT) * VAE_SCALING

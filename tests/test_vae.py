@@ -56,3 +56,23 @@ def test_latents_affect_output_locally():
     # corner (mid-block attention spreads some change globally, so the
     # ratio is moderate, not extreme)
     assert diff[:8, :8].mean() > 3 * diff[-8:, -8:].mean()
+
+
+def test_encode_shapes_and_roundtrip_scale():
+    from mixgrpo_tpu.models.flux.vae import init_vae_encoder, vae_encode
+
+    cfg = VAEConfig.tiny()
+    enc = init_vae_encoder(jax.random.key(0), cfg)
+    imgs = jax.random.uniform(jax.random.key(1), (2, 64, 48, 3)) * 2 - 1
+    lat = vae_encode(enc, cfg, imgs, rng=jax.random.key(2), dtype=jnp.float32)
+    assert lat.shape == (2, 8, 6, cfg.latent_channels)
+    assert np.isfinite(np.asarray(lat)).all()
+    # deterministic mode uses the posterior mean
+    m1 = vae_encode(enc, cfg, imgs, dtype=jnp.float32, sample=False)
+    m2 = vae_encode(enc, cfg, imgs, dtype=jnp.float32, sample=False)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    # normalization inverse: denormalize(encode) recovers raw z scale
+    from mixgrpo_tpu.models.flux.latents import VAE_SCALING, VAE_SHIFT
+
+    raw = np.asarray(m1) / VAE_SCALING + VAE_SHIFT
+    assert np.isfinite(raw).all()
