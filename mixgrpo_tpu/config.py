@@ -54,6 +54,8 @@ class OptimConfig:
     master_weight_type: str = "fp32"
     gradient_checkpointing: bool = True
     selective_checkpointing: float = 1.0
+    ema_decay: float = 0.0  # 0 disables EMA (reference default 0.995, unused)
+    ema_start_step: int = 0
     allow_tf32: bool = True
     use_cpu_offload: bool = False
 

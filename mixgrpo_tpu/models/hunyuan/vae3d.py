@@ -179,6 +179,69 @@ def init_causal_vae_decoder(key, cfg: CausalVAEConfig) -> Dict[str, Any]:
     return params
 
 
+def load_causal_vae_decoder(path: str, cfg: CausalVAEConfig):
+    """Load the reference-format causal-3D VAE decoder checkpoint.
+
+    Naming (autoencoder_kl_causal_3d.py): CausalConv3d wraps nn.Conv3d as a
+    ``.conv`` submodule, so conv params live at ``<name>.conv.weight``;
+    torch Conv3d weights are (out, in, kt, kh, kw) -> ours (kt, kh, kw, in,
+    out)."""
+    import numpy as np
+
+    from mixgrpo_tpu.models.flux.load import load_safetensors_dir
+
+    st = load_safetensors_dir(path)
+
+    def conv(n):
+        w = st[f"{n}.conv.weight"].astype(np.float32)
+        return {
+            "w": np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0)),
+            "b": st[f"{n}.conv.bias"].astype(np.float32),
+        }
+
+    def gn(n):
+        return {"scale": st[f"{n}.weight"].astype(np.float32),
+                "bias": st[f"{n}.bias"].astype(np.float32)}
+
+    def resnet(n):
+        p = {"norm1": gn(f"{n}.norm1"), "conv1": conv(f"{n}.conv1"),
+             "norm2": gn(f"{n}.norm2"), "conv2": conv(f"{n}.conv2")}
+        if f"{n}.conv_shortcut.conv.weight" in st:
+            p["shortcut"] = conv(f"{n}.conv_shortcut")
+        return p
+
+    def lin(n):
+        return {"w": np.ascontiguousarray(st[f"{n}.weight"].astype(np.float32).T),
+                "b": st[f"{n}.bias"].astype(np.float32)}
+
+    d = "decoder"
+    a = f"{d}.mid_block.attentions.0"
+    params = {
+        "conv_in": conv(f"{d}.conv_in"),
+        "mid_res1": resnet(f"{d}.mid_block.resnets.0"),
+        "mid_attn": {
+            "norm": gn(f"{a}.group_norm"),
+            "q": lin(f"{a}.to_q"), "k": lin(f"{a}.to_k"),
+            "v": lin(f"{a}.to_v"), "out": lin(f"{a}.to_out.0"),
+        },
+        "mid_res2": resnet(f"{d}.mid_block.resnets.1"),
+        "norm_out": gn(f"{d}.conv_norm_out"),
+        "conv_out": conv(f"{d}.conv_out"),
+    }
+    blocks = []
+    for bi in range(len(cfg.block_out_channels)):
+        n = f"{d}.up_blocks.{bi}"
+        blk = {"resnets": [
+            resnet(f"{n}.resnets.{li}")
+            for li in range(cfg.layers_per_block + 1)
+        ]}
+        if f"{n}.upsamplers.0.conv.conv.weight" in st:
+            blk["upsample"] = conv(f"{n}.upsamplers.0.conv")
+        blocks.append(blk)
+    params["up_blocks"] = blocks
+    return jax.tree.map(jnp.asarray, params)
+
+
 def causal_vae_decode(
     params, cfg: CausalVAEConfig, latents: jnp.ndarray, dtype=jnp.bfloat16
 ) -> jnp.ndarray:

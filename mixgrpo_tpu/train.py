@@ -140,6 +140,11 @@ class GRPOTrainer:
                 attn_impl=attn_impl, remat=remat,
                 loss_scale=loss_scale,
             )
+        self.ema_params = None
+        if cfg.optim.ema_decay > 0 and not use_lora:
+            from mixgrpo_tpu.utils.ema import ema_init
+
+            self.ema_params = ema_init(self.params)
         self.window: SlidingWindowState = window_state_from_config(cfg)
         self.base_sigmas = sigma_schedule(cfg.grpo.sampling_steps, cfg.grpo.shift)
         self.global_step = 0
@@ -417,6 +422,13 @@ class GRPOTrainer:
             self.window.update_iteration()
             batch = next(it)
             metrics = self.train_one_step(batch)
+            if self.ema_params is not None:
+                from mixgrpo_tpu.utils.ema import ema_update
+
+                self.ema_params = ema_update(
+                    self.ema_params, self.params, self.cfg.optim.ema_decay,
+                    step=self.global_step, start_step=self.cfg.optim.ema_start_step,
+                )
             metrics.update(self.metrics.tick())
             self.metrics.log(self.global_step, metrics)
             main_print(

@@ -58,3 +58,54 @@ def test_decoder_mostly_causal():
     # (matching the reference); the causal convs still make late frames
     # strictly more affected than the first
     assert d_last > 1.05 * d_first
+
+
+def test_causal_vae_loader_roundtrip(tmp_path):
+    """Synthesize a reference-named checkpoint from our init and reload."""
+    from safetensors.numpy import save_file
+
+    from mixgrpo_tpu.models.hunyuan.vae3d import load_causal_vae_decoder
+
+    cfg = CausalVAEConfig.tiny()
+    params = init_causal_vae_decoder(jax.random.key(0), cfg)
+
+    st = {}
+
+    def dump_conv(n, p):
+        st[f"{n}.conv.weight"] = np.asarray(p["w"]).transpose(4, 3, 0, 1, 2)
+        st[f"{n}.conv.bias"] = np.asarray(p["b"])
+
+    def dump_gn(n, p):
+        st[f"{n}.weight"] = np.asarray(p["scale"])
+        st[f"{n}.bias"] = np.asarray(p["bias"])
+
+    def dump_resnet(n, p):
+        dump_gn(f"{n}.norm1", p["norm1"]); dump_conv(f"{n}.conv1", p["conv1"])
+        dump_gn(f"{n}.norm2", p["norm2"]); dump_conv(f"{n}.conv2", p["conv2"])
+        if "shortcut" in p:
+            dump_conv(f"{n}.conv_shortcut", p["shortcut"])
+
+    def dump_lin(n, p):
+        st[f"{n}.weight"] = np.asarray(p["w"]).T.copy()
+        st[f"{n}.bias"] = np.asarray(p["b"])
+
+    dump_conv("decoder.conv_in", params["conv_in"])
+    dump_resnet("decoder.mid_block.resnets.0", params["mid_res1"])
+    dump_resnet("decoder.mid_block.resnets.1", params["mid_res2"])
+    a = "decoder.mid_block.attentions.0"
+    dump_gn(f"{a}.group_norm", params["mid_attn"]["norm"])
+    for k, hf in (("q", "to_q"), ("k", "to_k"), ("v", "to_v"), ("out", "to_out.0")):
+        dump_lin(f"{a}.{hf}", params["mid_attn"][k])
+    dump_gn("decoder.conv_norm_out", params["norm_out"])
+    dump_conv("decoder.conv_out", params["conv_out"])
+    for bi, blk in enumerate(params["up_blocks"]):
+        for li, rp in enumerate(blk["resnets"]):
+            dump_resnet(f"decoder.up_blocks.{bi}.resnets.{li}", rp)
+        if "upsample" in blk:
+            dump_conv(f"decoder.up_blocks.{bi}.upsamplers.0.conv", blk["upsample"])
+
+    f = tmp_path / "vae3d.safetensors"
+    save_file({k: np.ascontiguousarray(v) for k, v in st.items()}, str(f))
+    reloaded = load_causal_vae_decoder(str(f), cfg)
+    for a_, b_ in zip(jax.tree.leaves(reloaded), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-6)
