@@ -22,7 +22,10 @@ Structural parity notes (file:line cite the reference):
     area-normalized (t, h, w) center coordinates (:443-512).
   - Conditioning: timestep embedding + attention-pooled T5 caption
     features; caption tokens projected 4096 -> 1536 for the text stream
-    (MochiCombinedTimestepCaptionEmbedding).
+    (MochiCombinedTimestepCaptionEmbedding).  NOTE: the caption pooler here
+    is a single-query attention pool (learned query over token features) —
+    a simplification of diffusers' multi-head MochiAttentionPool; faithful
+    pooler weights are a TODO for checkpoint-compatible loading.
   - final_layer context_pre_only on the last block (text stream gets only
     a modulated norm, no update) (:304-342).
 """
