@@ -191,3 +191,26 @@ def test_dpm_all_strategy_rollout():
                       rng=jax.random.key(0))
     assert np.isfinite(np.asarray(out.all_latents)).all()
     assert np.isfinite(np.asarray(out.all_log_probs)).all()
+
+
+def test_rollout_deterministic_given_key():
+    """Same PRNG key -> bit-identical trajectory; different key differs
+    (the reference relies on per-rank torch seeds; here noise is a pure
+    function of the key, SURVEY.md §7 'RNG discipline')."""
+    T = 8
+    rng = np.random.default_rng(9)
+    x0 = rng.normal(size=(1, 8)).astype(np.float32)
+    eps = rng.normal(size=(1, 8)).astype(np.float32)
+    sig = jnp.asarray(sigma_schedule(T, 3.0))
+    det = jnp.asarray(deterministic_mask(T, [2, 3, 4]))
+    cfg = SamplerConfig(num_steps_max=T)
+    fn = _exact_model_fn(x0, eps)
+    a = run_rollout(cfg, fn, jnp.asarray(eps), sigmas=sig, deterministic=det,
+                    num_steps=T, rng=jax.random.key(11))
+    b = run_rollout(cfg, fn, jnp.asarray(eps), sigmas=sig, deterministic=det,
+                    num_steps=T, rng=jax.random.key(11))
+    np.testing.assert_array_equal(np.asarray(a.all_latents), np.asarray(b.all_latents))
+    np.testing.assert_array_equal(np.asarray(a.all_log_probs), np.asarray(b.all_log_probs))
+    c = run_rollout(cfg, fn, jnp.asarray(eps), sigmas=sig, deterministic=det,
+                    num_steps=T, rng=jax.random.key(12))
+    assert not np.allclose(np.asarray(a.all_latents), np.asarray(c.all_latents))
