@@ -342,11 +342,20 @@ class GRPOTrainer:
         # samples per optimizer step
         accum = max(cfg.optim.gradient_accumulation_steps, 1)
         W = len(train_ts)
+        if W == 0:
+            # window start == max_timesteps yields an empty window for a few
+            # iterations until roll_back fires — the reference silently
+            # no-ops here (grpo_states.py:95-99 + train loop over []);
+            # skip the update but keep reward logging.
+            main_print(
+                f"empty training window at cur_timestep="
+                f"{self.window.cur_timestep}; skipping update"
+            )
         agg: Dict[str, float] = {}
         n_updates = 0
         sig_dev = jnp.asarray(sigmas, jnp.float32)
         with self.mesh:
-            for gstart in range(0, B, accum):
+            for gstart in range(0, B if W > 0 else 0, accum):
                 gidx = order[gstart : gstart + accum]
                 if len(gidx) == 0:
                     continue

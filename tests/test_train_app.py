@@ -126,3 +126,20 @@ def test_train_flash_dpm_post(tmp_path):
     loader = PromptLoader(LatentDataset(str(tmp_path / "cache")), 1, seed=0)
     trainer.train(loader)
     assert trainer.global_step == 1
+
+
+def test_empty_window_iteration_is_noop(tmp_path):
+    """Window start == max_timesteps: iteration must skip updates without
+    crashing (the reference silently loops over an empty list there)."""
+    cfg = _make_cfg(tmp_path, steps=1)
+    trainer, flux_cfg = _build_trainer(tmp_path, cfg)
+    _make_cache(tmp_path, cfg, flux_cfg)
+    ds = LatentDataset(str(tmp_path / "cache"))
+    loader = PromptLoader(ds, 1, seed=0)
+    trainer.window.cur_timestep = cfg.grpo.sampling_steps  # empty window
+    batch = next(iter(loader))
+    before = jax.device_get(jax.tree.leaves(trainer.params)[3]).copy()
+    m = trainer.train_one_step(batch)
+    after = jax.device_get(jax.tree.leaves(trainer.params)[3])
+    np.testing.assert_array_equal(before, after)  # no update applied
+    assert "reward" in m
