@@ -143,3 +143,14 @@ def test_empty_window_iteration_is_noop(tmp_path):
     after = jax.device_get(jax.tree.leaves(trainer.params)[3])
     np.testing.assert_array_equal(before, after)  # no update applied
     assert "reward" in m
+
+
+def test_train_multi_prompt_batch(tmp_path):
+    """train_batch_size=2 prompts x G=4 generations in one iteration."""
+    cfg = _make_cfg(tmp_path, steps=1)
+    cfg.data.train_batch_size = 2
+    trainer, flux_cfg = _build_trainer(tmp_path, cfg)
+    _make_cache(tmp_path, cfg, flux_cfg)
+    loader = PromptLoader(LatentDataset(str(tmp_path / "cache")), 2, seed=0)
+    trainer.train(loader)
+    assert trainer.global_step == 1
