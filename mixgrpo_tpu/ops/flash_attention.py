@@ -305,7 +305,7 @@ def _flash_bwd(scale, block_q, block_k, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_attention(q, k, v, mask=None, block_q: int = 512, block_k: int = 1024):
+def flash_attention(q, k, v, mask=None, block_q: int = 512, block_k=None):
     """Flash attention over (B, H, S, D); optional key-side mask.
 
     ``mask`` may be None (full bidirectional — the FLUX cached-embedding
@@ -314,9 +314,17 @@ def flash_attention(q, k, v, mask=None, block_q: int = 512, block_k: int = 1024)
     (HunyuanVideo's padded-text masking, use_attention_mask).  Query-
     dependent masks are not supported.  Key-side *padding* from block
     alignment is masked internally.
+
+    ``block_k=None`` auto-selects: a single full-K pass when the fp32
+    (block_q, S_k) score tile fits VMEM (measured 1.3-2x faster than
+    chunked online-softmax at MMDiT shapes — no accumulator churn), else
+    1024-wide chunks.
     """
     B, H, S, D = q.shape
     Sk = k.shape[2]
+    if block_k is None:
+        # bq*Sk*4B scores + 2*Sk*D*2B kv + ~1MB q/o/acc; 4608 @ bq=512 ≈ 12.6MB
+        block_k = Sk if Sk <= 4608 else 1024
     if mask is None:
         kbias = jnp.zeros((B, Sk), jnp.float32)
     else:
