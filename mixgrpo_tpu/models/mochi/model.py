@@ -220,6 +220,11 @@ def init_mochi(key, cfg: MochiConfig) -> Dict[str, Any]:
     d, td = cfg.dim, cfg.text_dim
     ks = jax.random.split(key, 8 + cfg.num_layers)
     pe = cfg.patch_size * cfg.patch_size * cfg.in_channels
+    # blocks 0..N-2 share a structure and are stacked for lax.scan; the
+    # final block (context_pre_only) differs and stays separate
+    body_blocks = [
+        _block_init(k, cfg, context_pre_only=False) for k in ks[8:-1]
+    ]
     params = {
         "patch_embed": L.linear_init(ks[0], pe, d),
         "time_in": L.mlp_embedder_init(ks[1], cfg.time_freq_dim, d),
@@ -232,10 +237,8 @@ def init_mochi(key, cfg: MochiConfig) -> Dict[str, Any]:
         ) * 0.02,
         "final_mod": L.modulation_init(ks[6], d, 2),
         "proj_out": L.linear_init(ks[7], d, pe),
-        "blocks": [
-            _block_init(k, cfg, context_pre_only=(i == cfg.num_layers - 1))
-            for i, k in enumerate(ks[8:])
-        ],
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *body_blocks),
+        "final_block": _block_init(ks[-1], cfg, context_pre_only=True),
     }
     return params
 
@@ -279,14 +282,24 @@ def mochi_forward(
     pos = mochi_positions(T, Hh // ps, Ww // ps, cfg.base_height * cfg.base_width)
     rope_cos, rope_sin = mochi_rope(params["pos_frequencies"], pos)
 
-    n = len(params["blocks"])
-    for i, bp in enumerate(params["blocks"]):
-        blk = lambda x, c, bp=bp, last=(i == n - 1): _mochi_block(
-            bp, cfg, x, c, temb, rope_cos, rope_sin, last, attn_impl, dtype
+    def body(carry, bp):
+        xh, ch = carry
+        xh, ch = _mochi_block(
+            bp, cfg, xh, ch, temb, rope_cos, rope_sin, False, attn_impl, dtype
         )
-        if remat:
-            blk = jax.checkpoint(blk, prevent_cse=False)
-        x, c = blk(x, c)
+        return (xh, ch), None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    (x, c), _ = jax.lax.scan(body, (x, c), params["blocks"])
+
+    final = lambda xh, ch: _mochi_block(
+        params["final_block"], cfg, xh, ch, temb, rope_cos, rope_sin,
+        True, attn_impl, dtype,
+    )
+    if remat:
+        final = jax.checkpoint(final, prevent_cse=False)
+    x, c = final(x, c)
 
     scale, shift = L.modulation(params["final_mod"], temb, 2, dtype)
     x = L.modulate(L.layer_norm(x, cfg.eps), shift, scale)
