@@ -266,7 +266,13 @@ def window_state_from_config(cfg: TrainConfig):
     return SlidingWindowState(
         iters_per_group=cfg.window.iters_per_group,
         group_size=cfg.window.group_size,
-        max_timesteps=cfg.grpo.sampling_steps,
+        # reference passes sampling_steps - 2 ("the max timestep index is
+        # args.sampling_steps - 2", train_grpo_flux.py:807): the final MDP
+        # pair is dropped by the unconditional double truncation (:407-410),
+        # so the window never covers — and PPO never trains — the last two
+        # step indices.  This also sets the roll_back cadence and the
+        # random-strategy bounds.
+        max_timesteps=cfg.grpo.sampling_steps - 2,
         sample_strategy=cfg.window.sample_strategy,
         prog_overlap=cfg.window.prog_overlap,
         prog_overlap_step=cfg.window.prog_overlap_step,

@@ -97,6 +97,76 @@ def mix_rewards(
     return merged
 
 
+def masked_group_advantages(
+    rewards: jnp.ndarray,
+    successes: jnp.ndarray,
+    num_generations: int,
+    trimmed_ratio: float = 0.0,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Per-group advantages with a per-sample success mask.
+
+    Failed samples (success=0, e.g. an unanswered UnifiedReward HTTP call)
+    are excluded from the group mean/std and receive advantage 0 for this
+    model, so a garbage score never moves the policy.  With all-success
+    masks this reduces exactly to :func:`group_advantages` (ddof=1 stats,
+    identical trimming rule).  The reference collects ``successes_dict``
+    but leaves its use as a TODO (train_grpo_flux.py:299-318); masking is
+    the documented intent (eval_reward.py:264-276 masks means the same way).
+    """
+    n = rewards.shape[0]
+    assert n % num_generations == 0, (n, num_generations)
+    G = num_generations
+    g = rewards.reshape(-1, G)
+    s = successes.reshape(-1, G).astype(rewards.dtype)
+    if trimmed_ratio > 0:
+        trim = min(int(G * trimmed_ratio), G - 1)
+        # Sort with failures pushed to the top; positions [trim, k) of the
+        # ascending order are the surviving successful entries (k = #success).
+        big = jnp.where(s > 0, g, jnp.inf)
+        order = jnp.argsort(big, axis=1)
+        sv = jnp.take_along_axis(g, order, axis=1)
+        k = jnp.sum(s, axis=1, keepdims=True)
+        pos = jnp.arange(G)[None, :]
+        w = ((pos >= trim) & (pos < k)).astype(rewards.dtype)
+    else:
+        sv, w = g, s
+    cnt = jnp.sum(w, axis=1, keepdims=True)
+    mean = jnp.sum(sv * w, axis=1, keepdims=True) / jnp.maximum(cnt, 1.0)
+    var = jnp.sum(w * (sv - mean) ** 2, axis=1, keepdims=True) / jnp.maximum(
+        cnt - 1.0, 1.0
+    )
+    std = jnp.sqrt(var) + eps
+    return (s * (g - mean) / std).reshape(n)
+
+
+def masked_mix_advantages(
+    rewards_dict: Mapping[str, jnp.ndarray],
+    successes_dict: Mapping[str, jnp.ndarray],
+    weights: Mapping[str, float],
+    num_generations: int,
+    trimmed_ratio: float = 0.0,
+) -> jnp.ndarray:
+    """``advantage_aggr`` mixing with success masks.
+
+    Per sample, the merged advantage is the weighted sum over the models
+    that *succeeded* on that sample, rescaled to the full weight total so
+    scale matches the all-success case (mirrors
+    :func:`masked_mix_rewards`).
+    """
+    total_w = sum(float(weights.get(n, 1.0)) for n in rewards_dict)
+    num = None
+    den = None
+    for name, r in rewards_dict.items():
+        w = float(weights.get(name, 1.0))
+        s = successes_dict[name].astype(r.dtype)
+        adv = masked_group_advantages(r, s, num_generations, trimmed_ratio)
+        num = adv * w if num is None else num + adv * w
+        den = s * w if den is None else den + s * w
+    assert num is not None, "empty rewards_dict"
+    return num / jnp.maximum(den, 1e-8) * total_w
+
+
 def masked_mix_rewards(
     rewards_dict: Mapping[str, jnp.ndarray],
     successes_dict: Mapping[str, jnp.ndarray],

@@ -96,7 +96,16 @@ class FluxSampler:
     def init_noise(self, rng, batch: int, same_noise_groups: Optional[int] = None):
         """Packed-latent gaussian init.  With ``same_noise_groups=G`` the
         same noise is reused across each group of G generations
-        (init_same_noise, train_grpo_flux.py:223-228)."""
+        (init_same_noise, train_grpo_flux.py:223-228).
+
+        Intentional divergence from the reference: the reference draws ONE
+        latent per rank and reuses it for *every* sample in the local batch
+        (all prompt groups), which only matters for train_batch_size>1 (the
+        recipe uses 1).  Here noise is shared per prompt group but fresh
+        across groups — group-relative advantages only compare within a
+        group, and per-group noise decorrelates groups without weakening the
+        variance-reduction that init_same_noise exists for.
+        """
         c = self.flux_cfg.in_channels
         if same_noise_groups:
             n_prompts = batch // same_noise_groups

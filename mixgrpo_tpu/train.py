@@ -41,7 +41,8 @@ from mixgrpo_tpu.models.flux.model import FluxConfig, init_flux
 from mixgrpo_tpu.models.flux.vae import VAEConfig, postprocess_images, vae_decode
 from mixgrpo_tpu.parallel import data_spec, make_mesh, shard_params
 from mixgrpo_tpu.rl.advantage import (
-    global_advantages, group_advantages, mix_advantages, mix_rewards,
+    global_advantages, group_advantages, masked_mix_advantages,
+    masked_mix_rewards,
 )
 from mixgrpo_tpu.rl.balance import balance_pos_neg
 from mixgrpo_tpu.rl.window import SlidingWindowState
@@ -174,12 +175,19 @@ class GRPOTrainer:
         p, o, win_d, step = self.ckpt.restore(
             params_template=jax.tree.map(jnp.zeros_like, tmpl),
             opt_state_template=jax.tree.map(jnp.zeros_like, self.opt_state),
+            ema_template=(
+                jax.tree.map(jnp.zeros_like, self.ema_params)
+                if self.ema_params is not None else None
+            ),
         )
         if self.use_lora:
             self.lora_factors = p
         else:
             self.params = p
         self.opt_state, self.global_step = o, step
+        ema = self.ckpt.last_ema()
+        if ema is not None:
+            self.ema_params = ema
         if win_d:
             self.window = SlidingWindowState.from_dict(win_d)
         main_print(f"resumed from step {step}")
@@ -222,7 +230,7 @@ class GRPOTrainer:
 
     # ------------------------------------------------------------------
 
-    def train_one_step(self, batch) -> Dict[str, float]:
+    def train_one_step(self, batch, timesteps_train=None) -> Dict[str, float]:
         cfg = self.cfg
         G = cfg.grpo.num_generations if cfg.grpo.use_group else 1
         n_prompts = batch["prompt_embed"].shape[0]
@@ -235,7 +243,8 @@ class GRPOTrainer:
         txt = jax.device_put(jnp.asarray(txt, self.dtype), data_spec(self.mesh, 3))
         pooled = jax.device_put(jnp.asarray(pooled, self.dtype), data_spec(self.mesh, 2))
 
-        timesteps_train = self.window.get_current_timesteps()
+        if timesteps_train is None:
+            timesteps_train = self.window.get_current_timesteps()
         sigmas, det, num_steps = self._schedule_for_window(timesteps_train)
 
         rng = jax.random.fold_in(
@@ -268,31 +277,30 @@ class GRPOTrainer:
 
         rewards_dict, successes_dict = self._compute_rewards(images01, captions)
 
-        # advantages (:440-501)
+        # advantages (:440-501) with per-model success masking: failed
+        # reward calls (e.g. UnifiedReward HTTP errors) are dropped from
+        # group statistics and contribute zero advantage — the reference
+        # collects successes_dict but leaves consumption as a TODO
+        # (train_grpo_flux.py:299-318); eval masks means the same way
+        # (eval_reward.py:264-276).
+        rd = {k: jnp.asarray(v) for k, v in rewards_dict.items()}
+        sd = {
+            k: jnp.asarray(successes_dict.get(k, np.ones_like(rewards_dict[k])))
+            for k in rewards_dict
+        }
         if cfg.grpo.use_group:
+            rewards = masked_mix_rewards(rd, sd, self.reward_weights)
             if cfg.reward.multi_reward_mix == "advantage_aggr":
-                adv = mix_advantages(
-                    {k: jnp.asarray(v) for k, v in rewards_dict.items()},
-                    self.reward_weights, G, cfg.grpo.trimmed_ratio,
-                )
-                rewards = mix_rewards(
-                    {k: jnp.asarray(v) for k, v in rewards_dict.items()},
-                    self.reward_weights,
+                adv = masked_mix_advantages(
+                    rd, sd, self.reward_weights, G, cfg.grpo.trimmed_ratio,
                 )
             else:
-                rewards = mix_rewards(
-                    {k: jnp.asarray(v) for k, v in rewards_dict.items()},
-                    self.reward_weights,
-                )
                 adv = group_advantages(rewards, G, cfg.grpo.trimmed_ratio)
         else:
             assert cfg.reward.multi_reward_mix == "reward_aggr", (
                 "advantage_aggr requires use_group (:495-496)"
             )
-            rewards = mix_rewards(
-                {k: jnp.asarray(v) for k, v in rewards_dict.items()},
-                self.reward_weights,
-            )
+            rewards = masked_mix_rewards(rd, sd, self.reward_weights)
             from jax.experimental import multihost_utils
 
             gathered = (
@@ -391,9 +399,21 @@ class GRPOTrainer:
                 x = multihost_utils.process_allgather(jnp.asarray(x))
             return float(jnp.mean(jnp.asarray(x)))
 
+        def _gather(x):
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                return np.asarray(multihost_utils.process_allgather(jnp.asarray(x)))
+            return np.asarray(x)
+
         metrics["reward"] = _global_mean(rewards)
         for name, vals in rewards_dict.items():
-            metrics[f"reward/{name}"] = _global_mean(np.asarray(vals, np.float64))
+            # success-masked per-model mean (reference eval_reward.py:264-276)
+            v = _gather(np.asarray(vals, np.float64)).reshape(-1)
+            s = _gather(np.asarray(sd[name], np.float64)).reshape(-1)
+            metrics[f"reward/{name}"] = (
+                float((v * s).sum() / s.sum()) if s.sum() > 0 else 0.0
+            )
         metrics["cur_timestep"] = self.window.cur_timestep
         metrics["cur_iter_in_group"] = self.window.cur_iter_in_group
         metrics["sampling_time"] = sampling_time
@@ -428,9 +448,17 @@ class GRPOTrainer:
                 and self.global_step % cfg.run.checkpointing_steps == 0
             ):
                 self.save_checkpoint()
-            self.window.update_iteration()
+            # reference ordering (train_grpo_flux.py:833-835): capture the
+            # window BEFORE advancing it, so the first group gets the full
+            # iters_per_group iterations.  update_iteration is seeded so the
+            # "random" strategy is reproducible and agrees across hosts
+            # (replicated window inputs feed the SPMD-jitted rollout).
+            timesteps_train = self.window.get_current_timesteps()
+            self.window.update_iteration(
+                rng=cfg.grpo.seed + self.global_step
+            )
             batch = next(it)
-            metrics = self.train_one_step(batch)
+            metrics = self.train_one_step(batch, timesteps_train)
             if self.ema_params is not None:
                 from mixgrpo_tpu.utils.ema import ema_update
 
@@ -454,6 +482,7 @@ class GRPOTrainer:
             self.global_step, train_state, self.opt_state,
             window_state=self.window.to_dict(),
             extra={"use_lora": self.use_lora},
+            ema_params=self.ema_params,
         )
         if jax.process_index() == 0:
             path = os.path.join(

@@ -44,12 +44,15 @@ class CheckpointManager:
         opt_state: Any = None,
         window_state: Optional[dict] = None,
         extra: Optional[dict] = None,
+        ema_params: Any = None,
     ) -> None:
         import orbax.checkpoint as ocp
 
         items = {"params": ocp.args.StandardSave(params)}
         if opt_state is not None:
             items["opt_state"] = ocp.args.StandardSave(opt_state)
+        if ema_params is not None:
+            items["ema_params"] = ocp.args.StandardSave(ema_params)
         meta = {"window_state": window_state, "extra": extra or {}, "step": step}
         items["meta"] = ocp.args.JsonSave(meta)
         self._mgr.save(step, args=ocp.args.Composite(**items))
@@ -63,8 +66,11 @@ class CheckpointManager:
         step: Optional[int] = None,
         params_template: Any = None,
         opt_state_template: Any = None,
+        ema_template: Any = None,
     ) -> Tuple[Any, Any, Optional[dict], int]:
-        """Returns (params, opt_state, window_state, step)."""
+        """Returns (params, opt_state, window_state, step).  When
+        ``ema_template`` is given and the checkpoint contains EMA state,
+        it is returned via :meth:`last_ema` (set as ``self._last_ema``)."""
         import orbax.checkpoint as ocp
 
         step = step if step is not None else self._mgr.latest_step()
@@ -73,14 +79,29 @@ class CheckpointManager:
         items["params"] = ocp.args.StandardRestore(params_template)
         if opt_state_template is not None:
             items["opt_state"] = ocp.args.StandardRestore(opt_state_template)
+        if ema_template is not None and "ema_params" in self._item_names(step):
+            items["ema_params"] = ocp.args.StandardRestore(ema_template)
         out = self._mgr.restore(step, args=ocp.args.Composite(**items))
         meta = out["meta"]
+        self._last_ema = out.get("ema_params")
         return (
             out["params"],
             out.get("opt_state"),
             meta.get("window_state"),
             meta["step"],
         )
+
+    def _item_names(self, step: int):
+        """Item subdirectories present in a checkpoint step."""
+        d = os.path.join(self.directory, str(step))
+        try:
+            return [n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n))]
+        except OSError:
+            return []
+
+    def last_ema(self) -> Any:
+        """EMA pytree from the most recent :meth:`restore`, if present."""
+        return getattr(self, "_last_ema", None)
 
     def close(self):
         self._mgr.close()

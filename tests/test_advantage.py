@@ -131,3 +131,84 @@ def test_balance_pos_neg_random_is_permutation():
     rng = np.random.default_rng(1)
     perm = balance_pos_neg(adv, rng, use_random=True)
     assert sorted(perm.tolist()) == list(range(10))
+
+
+# ---------------------------------------------------------------------------
+# success-masked advantages (VERDICT r1 item 3)
+# ---------------------------------------------------------------------------
+
+
+def test_masked_group_advantages_all_success_matches_unmasked():
+    rng = np.random.default_rng(5)
+    r = rng.normal(size=24).astype(np.float32)
+    s = np.ones_like(r)
+    from mixgrpo_tpu.rl.advantage import masked_group_advantages
+
+    for trim in (0.0, 0.25):
+        got = np.asarray(
+            masked_group_advantages(jnp.asarray(r), jnp.asarray(s), 12, trim)
+        )
+        want = np.asarray(group_advantages(jnp.asarray(r), 12, trim))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_masked_group_advantages_excludes_failures():
+    from mixgrpo_tpu.rl.advantage import masked_group_advantages
+
+    G = 6
+    r = np.asarray([1.0, 2.0, 3.0, 100.0, 4.0, 5.0], np.float32)
+    s = np.asarray([1, 1, 1, 0, 1, 1], np.float32)  # garbage score masked
+    got = np.asarray(masked_group_advantages(jnp.asarray(r), jnp.asarray(s), G))
+    # failed sample contributes 0 advantage
+    assert got[3] == 0.0
+    # stats over successes only
+    ok = np.asarray([1.0, 2.0, 3.0, 4.0, 5.0])
+    want = (ok - ok.mean()) / (ok.std(ddof=1) + 1e-8)
+    np.testing.assert_allclose(np.delete(got, 3), want, rtol=1e-4)
+
+
+def test_masked_mix_advantages_failed_model_ignored():
+    """One model fails on half the batch; those samples' merged advantages
+    must equal the other model's advantage alone (rescaled)."""
+    from mixgrpo_tpu.rl.advantage import (
+        masked_group_advantages, masked_mix_advantages,
+    )
+
+    rng = np.random.default_rng(7)
+    G = 4
+    ra = rng.normal(size=8).astype(np.float32)
+    rb = rng.normal(size=8).astype(np.float32)
+    sa = np.ones(8, np.float32)
+    sb = np.asarray([1, 0, 1, 0, 1, 0, 1, 0], np.float32)  # b fails half
+    w = {"a": 1.0, "b": 1.0}
+    merged = np.asarray(
+        masked_mix_advantages(
+            {"a": jnp.asarray(ra), "b": jnp.asarray(rb)},
+            {"a": jnp.asarray(sa), "b": jnp.asarray(sb)},
+            w, G,
+        )
+    )
+    adv_a = np.asarray(masked_group_advantages(jnp.asarray(ra), jnp.asarray(sa), G))
+    adv_b = np.asarray(masked_group_advantages(jnp.asarray(rb), jnp.asarray(sb), G))
+    # failed samples: only model a contributes, rescaled to total weight 2
+    fail = sb == 0
+    np.testing.assert_allclose(merged[fail], adv_a[fail] * 2.0, rtol=1e-4)
+    # successful samples: plain weighted sum
+    np.testing.assert_allclose(
+        merged[~fail], (adv_a + adv_b)[~fail], rtol=1e-4, atol=1e-6
+    )
+
+
+def test_masked_mix_rewards_all_success_is_plain_mix():
+    rng = np.random.default_rng(8)
+    rd = {
+        "a": jnp.asarray(rng.normal(size=6).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=6).astype(np.float32)),
+    }
+    sd = {k: jnp.ones(6) for k in rd}
+    w = {"a": 0.7, "b": 0.3}
+    np.testing.assert_allclose(
+        np.asarray(masked_mix_rewards(rd, sd, w)),
+        np.asarray(mix_rewards(rd, w)),
+        rtol=1e-5,
+    )
