@@ -4,6 +4,8 @@ from mixgrpo_tpu.parallel.sharding import (
     shard_params,
     data_spec,
     replicated_spec,
+    put_global_batch,
+    get_local_batch,
 )
 
 __all__ = [
@@ -14,4 +16,6 @@ __all__ = [
     "shard_params",
     "data_spec",
     "replicated_spec",
+    "put_global_batch",
+    "get_local_batch",
 ]

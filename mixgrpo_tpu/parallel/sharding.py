@@ -105,3 +105,49 @@ def data_spec(mesh: Mesh, ndim: int, batch_axes=("dp", "fsdp")) -> NamedSharding
 
 def replicated_spec(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# multi-host batch placement
+# ---------------------------------------------------------------------------
+#
+# On a pod each process loads its OWN prompt shard (host-local batch); the
+# jitted SPMD functions consume *global* arrays.  ``jax.device_put`` with a
+# mesh-wide NamedSharding expects the global value, so host-local data must
+# go through host_local_array_to_global_array (and back for host-side reward
+# scoring, where captions are process-local).  The reference's analogue is
+# per-rank batches + NCCL all_gathers (train_grpo_flux.py:332-338,417-425).
+
+
+def put_global_batch(mesh: Mesh, x, dtype=None):
+    """Place a process-local batch (leading dim = local rows) on the mesh as
+    a global dp-sharded array.  Single-process: a plain device_put."""
+    import numpy as np
+
+    x = np.asarray(x)
+    if dtype is not None:
+        x = x.astype(dtype)
+    spec = data_spec(mesh, x.ndim)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            x, mesh, spec.spec
+        )
+    return jax.device_put(x, spec)
+
+
+def get_local_batch(mesh: Mesh, x):
+    """This process's rows of a global batch-sharded array, as numpy —
+    aligned with the local rows that :func:`put_global_batch` contributed."""
+    import numpy as np
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(
+            multihost_utils.global_array_to_host_local_array(
+                x, mesh, data_spec(mesh, x.ndim).spec
+            )
+        )
+    return np.asarray(x)

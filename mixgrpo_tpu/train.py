@@ -39,7 +39,9 @@ from mixgrpo_tpu.data.dataset import LatentDataset, PromptLoader
 from mixgrpo_tpu.models.flux.latents import denormalize_latents, unpack_latents
 from mixgrpo_tpu.models.flux.model import FluxConfig, init_flux
 from mixgrpo_tpu.models.flux.vae import VAEConfig, postprocess_images, vae_decode
-from mixgrpo_tpu.parallel import data_spec, make_mesh, shard_params
+from mixgrpo_tpu.parallel import (
+    get_local_batch, make_mesh, put_global_batch, shard_params,
+)
 from mixgrpo_tpu.rl.advantage import (
     global_advantages, group_advantages, masked_mix_advantages,
     masked_mix_rewards,
@@ -236,12 +238,19 @@ class GRPOTrainer:
         n_prompts = batch["prompt_embed"].shape[0]
         B = n_prompts * G
 
-        # group expansion (repeat_interleave, :368-384)
-        txt = np.repeat(batch["prompt_embed"], G, axis=0)
-        pooled = np.repeat(batch["pooled"], G, axis=0)
+        # group expansion (repeat_interleave, :368-384).  The batch is
+        # process-local (each host loads its own prompt shard); jitted SPMD
+        # functions consume global arrays, so placement goes through
+        # put_global_batch (host_local_array_to_global_array on pods).
+        txt_local = np.asarray(
+            np.repeat(batch["prompt_embed"], G, axis=0), dtype=self.dtype
+        )
+        pooled_local = np.asarray(
+            np.repeat(batch["pooled"], G, axis=0), dtype=self.dtype
+        )
         captions = [c for c in batch["captions"] for _ in range(G)]
-        txt = jax.device_put(jnp.asarray(txt, self.dtype), data_spec(self.mesh, 3))
-        pooled = jax.device_put(jnp.asarray(pooled, self.dtype), data_spec(self.mesh, 2))
+        txt = put_global_batch(self.mesh, txt_local)
+        pooled = put_global_batch(self.mesh, pooled_local)
 
         if timesteps_train is None:
             timesteps_train = self.window.get_current_timesteps()
@@ -251,6 +260,10 @@ class GRPOTrainer:
             jax.random.key(cfg.grpo.sampler_seed), self.global_step
         )
         k_noise, k_roll, k_bal = jax.random.split(rng, 3)
+        if jax.process_count() > 1:
+            # per-host noise for the host's own prompt rows (reference: each
+            # rank rolls out its own shard with its own generator)
+            k_noise = jax.random.fold_in(k_noise, jax.process_index())
         rollout_params = (
             self._merge(self.params, self.lora_factors)
             if self.use_lora else self.params
@@ -258,7 +271,7 @@ class GRPOTrainer:
         z0 = self.sampler.init_noise(
             k_noise, B, same_noise_groups=G if cfg.grpo.init_same_noise else None
         )
-        z0 = jax.device_put(z0, data_spec(self.mesh, 3))
+        z0 = put_global_batch(self.mesh, z0)
 
         t0 = time.time()
         with self.mesh:
@@ -272,10 +285,15 @@ class GRPOTrainer:
         sampling_time = time.time() - t0
         main_print(f"##### Sampling time per iteration: {sampling_time:.2f} s")
 
-        if self._decode is not None and getattr(self, "save_images", False):
-            self._save_first_image(images01)
+        # reward scoring is host-side and captions are process-local, so
+        # score this host's own image rows (global_array_to_host_local_array
+        # keeps row order aligned with the local captions)
+        images_local = get_local_batch(self.mesh, images01)
 
-        rewards_dict, successes_dict = self._compute_rewards(images01, captions)
+        if self._decode is not None and getattr(self, "save_images", False):
+            self._save_first_image(images_local)
+
+        rewards_dict, successes_dict = self._compute_rewards(images_local, captions)
 
         # advantages (:440-501) with per-model success masking: failed
         # reward calls (e.g. UnifiedReward HTTP errors) are dropped from
@@ -362,6 +380,17 @@ class GRPOTrainer:
         agg: Dict[str, float] = {}
         n_updates = 0
         sig_dev = jnp.asarray(sigmas, jnp.float32)
+        multi_host = jax.process_count() > 1
+        if multi_host and W > 0:
+            # rollout outputs are globally sharded; sample selection (order,
+            # perms, advantages) is host-local, so pull this host's rows and
+            # rebuild each update group as a global array below.
+            lat_h = get_local_batch(self.mesh, out.all_latents)
+            lp_h = get_local_batch(self.mesh, out.all_log_probs)
+            txt_h, pooled_h = txt_local, pooled_local
+        else:
+            lat_h, lp_h = out.all_latents, out.all_log_probs
+            txt_h, pooled_h = txt, pooled
         with self.mesh:
             for gstart in range(0, B if W > 0 else 0, accum):
                 gidx = order[gstart : gstart + accum]
@@ -373,9 +402,12 @@ class GRPOTrainer:
                 else:
                     t_idx = np.tile(np.asarray(train_ts), len(gidx))
                 ub = build_update_batch(
-                    out.all_latents, out.all_log_probs, adv, txt, pooled,
-                    sample_idx, t_idx,
+                    lat_h, lp_h, adv, txt_h, pooled_h, sample_idx, t_idx,
                 )
+                if multi_host:
+                    ub = jax.tree.map(
+                        lambda a: put_global_batch(self.mesh, a), ub
+                    )
                 if self.use_lora:
                     self.lora_factors, self.opt_state, m = self.lora_update(
                         self.lora_factors, self.opt_state, self.lora_meta,
