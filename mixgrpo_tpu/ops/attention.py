@@ -58,10 +58,9 @@ def attention(q, k, v, mask=None, impl: str = "auto"):
 
             ctx = get_sp_context()
             assert ctx is not None, "attention(impl='ulysses') needs set_sp_context"
-            assert mask is None, "ulysses attention does not support masks"
             mesh, axis = ctx
             base = "pallas" if _on_tpu() else "xla"
-            return ulysses_attention(q, k, v, mesh, axis, base_impl=base)
+            return ulysses_attention(q, k, v, mesh, axis, base_impl=base, mask=mask)
         if impl == "pallas":
             from mixgrpo_tpu.ops.flash_attention import flash_attention
 

@@ -35,7 +35,9 @@ def get_sp_context() -> Optional[Tuple[Mesh, str]]:
     return _SP_CONTEXT
 
 
-def ulysses_attention(q, k, v, mesh: Mesh, axis: str = "sp", base_impl: str = "xla"):
+def ulysses_attention(
+    q, k, v, mesh: Mesh, axis: str = "sp", base_impl: str = "xla", mask=None
+):
     """Attention over (B, H, S, D) with S sharded on ``axis``.
 
     Inside each shard: all_to_all scatters heads / gathers sequence
@@ -43,6 +45,13 @@ def ulysses_attention(q, k, v, mesh: Mesh, axis: str = "sp", base_impl: str = "x
     slice, and the inverse all_to_all restores sequence sharding — exactly
     the reference's scatter_idx=2/gather_idx=1 then 1/2 pattern
     (hunyuan/modules/attenion.py:43-55).
+
+    ``mask``: optional key-side boolean, (B, S) or (B, 1, 1, S), True =
+    attend (HunyuanVideo's padded-text masking, modeling_hunyuan.py:142-190
+    — the reference's only live SP consumer).  The mask is sequence-sharded
+    alongside K/V and all-gathered inside the shard so local full-sequence
+    attention sees all key validity bits.  Query-dependent (full S x S)
+    masks are not supported under SP.
     """
     from jax import shard_map
 
@@ -50,8 +59,17 @@ def ulysses_attention(q, k, v, mesh: Mesh, axis: str = "sp", base_impl: str = "x
     H, S = q.shape[1], q.shape[2]
     assert H % sp == 0, f"heads {H} not divisible by sp={sp}"
     assert S % sp == 0, f"seq {S} not divisible by sp={sp}"
+    if mask is not None:
+        m = jax.numpy.asarray(mask)
+        if m.ndim == 4:
+            assert m.shape[1] == 1 and m.shape[2] == 1, (
+                "ulysses attention supports key-side masks only, got "
+                f"{m.shape}"
+            )
+            m = m[:, 0, 0, :]
+        assert m.ndim == 2 and m.shape[-1] == S, (m.shape, S)
 
-    def local(q, k, v):
+    def local(q, k, v, m):
         # local in: (B, H, S/sp, D) -> (B, H/sp, S, D)
         a2a = lambda x: jax.lax.all_to_all(
             x, axis, split_axis=1, concat_axis=2, tiled=True
@@ -59,10 +77,22 @@ def ulysses_attention(q, k, v, mesh: Mesh, axis: str = "sp", base_impl: str = "x
         q, k, v = a2a(q), a2a(k), a2a(v)
         from mixgrpo_tpu.ops.attention import attention
 
-        o = attention(q, k, v, impl=base_impl)
+        local_mask = None
+        if m is not None:
+            # (B, S/sp) key bits -> (B, S): every head shard needs the full
+            # key-validity row
+            full = jax.lax.all_gather(m, axis, axis=1, tiled=True)
+            local_mask = full[:, None, None, :]
+        o = attention(q, k, v, mask=local_mask, impl=base_impl)
         return jax.lax.all_to_all(o, axis, split_axis=2, concat_axis=1, tiled=True)
 
     spec = P(None, None, axis, None)
+    if mask is None:
+        return shard_map(
+            lambda q, k, v: local(q, k, v, None),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        )(q, k, v)
+    mspec = P(None, axis)
     return shard_map(
-        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-    )(q, k, v)
+        local, mesh=mesh, in_specs=(spec, spec, spec, mspec), out_specs=spec,
+    )(q, k, v, m)

@@ -108,3 +108,75 @@ def test_grpo_trainer_under_sequence_parallelism(tmp_path):
         assert trainer.global_step == 1
     finally:
         set_sp_context(None)
+
+
+def test_ulysses_masked_matches_dense():
+    """Key-side mask sharded alongside K/V (VERDICT r1 item 8): sp=2 masked
+    attention must match dense masked attention."""
+    mesh = make_mesh(MeshConfig(dp=4, fsdp=1, sp=2, tp=1))
+    B, H, S, D = 2, 4, 24, 8
+    ks = jax.random.split(jax.random.key(2), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, S, D)) for kk in ks)
+    # padded-text style mask: last tokens invalid, different per batch row
+    mask = np.ones((B, S), bool)
+    mask[0, 18:] = False
+    mask[1, 10:] = False
+    mask = jnp.asarray(mask)
+
+    want = _xla_attention(q, k, v, mask=mask[:, None, None, :])
+    got = jax.jit(
+        lambda a, b, c, m: ulysses_attention(a, b, c, mesh, mask=m)
+    )(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    # gradients through the masked SP path
+    g_dense = jax.grad(
+        lambda q, k, v: jnp.sum(_xla_attention(q, k, v, mask=mask[:, None, None, :]) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_sp = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(ulysses_attention(q, k, v, mesh, mask=mask) ** 2),
+        argnums=(0, 1, 2),
+    ))(q, k, v)
+    for a, b in zip(g_sp, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5)
+
+
+def test_hunyuan_padded_text_under_sp_matches_dense():
+    """HunyuanVideo with padded text (the reference's only live SP consumer,
+    modeling_hunyuan.py:142-190) runs under sp=2 and matches dense."""
+    from mixgrpo_tpu.models.hunyuan.model import (
+        HunyuanVideoConfig, hunyuan_video_forward, init_hunyuan_video,
+    )
+
+    cfg = HunyuanVideoConfig.tiny()
+    params = init_hunyuan_video(jax.random.key(0), cfg)
+    B, T_, Hh, W_ = 1, 2, 4, 4
+    lt = 6  # joint seq = 6 + 2*2*2 = 14, divisible by sp=2
+    key = jax.random.key(1)
+    x = jax.random.normal(key, (B, T_, Hh, W_, cfg.in_channels))
+    txt = jax.random.normal(key, (B, lt, cfg.text_states_dim))
+    pooled = jax.random.normal(key, (B, cfg.text_states_dim_2))
+    t = jnp.full((B,), 0.5)
+    guid = jnp.full((B,), 1.0) if cfg.guidance_embed else None
+    text_mask = jnp.asarray(np.array([[1, 1, 1, 1, 0, 0]], np.int32))
+
+    want = hunyuan_video_forward(
+        params, cfg, x, txt, pooled, t, guidance=guid, text_mask=text_mask,
+        attn_impl="xla", dtype=jnp.float32, remat=False,
+    )
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, sp=2, tp=1))
+    set_sp_context(mesh, "sp")
+    try:
+        got = jax.jit(
+            lambda p, x, txt, pooled, t, m: hunyuan_video_forward(
+                p, cfg, x, txt, pooled, t, guidance=guid, text_mask=m,
+                attn_impl="ulysses", dtype=jnp.float32, remat=False,
+            )
+        )(shard_params(params, mesh), x, txt, pooled, t, text_mask)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+        )
+    finally:
+        set_sp_context(None)
