@@ -44,9 +44,13 @@ class HunyuanVideoPipeline:
         guidance_scale: float = 6.0,
         dtype=jnp.bfloat16,
         attn_impl: str = "auto",
+        text_encoder=None,  # models.hunyuan.text_encoder.LLMTextEncoder
+        clip_pooler=None,  # models.hunyuan.text_encoder.CLIPTextPooler
     ):
         self.cfg = cfg
         self.params = params
+        self.text_encoder = text_encoder
+        self.clip_pooler = clip_pooler
         self.vae_cfg, self.vae_params = vae_cfg, vae_params
         self.num_steps = num_steps
         self.guidance_scale = guidance_scale
@@ -79,6 +83,26 @@ class HunyuanVideoPipeline:
             num_steps=self.num_steps, rng=rng,
         )
         return out.final_latents.reshape(B, T, H, W, C)
+
+    def encode_prompt(self, prompts, data_type: str = "video"):
+        """Raw strings -> (LLM hidden states, text mask, CLIP pooled),
+        replacing the reference's TextEncoder pair in the pipeline
+        (pipeline_hunyuan_video.py prompt encoding via
+        text_encoder/__init__.py:338-353).  Requires the pipeline to be
+        constructed with ``text_encoder`` (and optionally ``clip_pooler``)."""
+        assert self.text_encoder is not None, (
+            "pipeline built without a text_encoder; pass precomputed hidden "
+            "states instead"
+        )
+        prompts = [prompts] if isinstance(prompts, str) else list(prompts)
+        txt, mask = self.text_encoder(prompts, data_type=data_type)
+        if self.clip_pooler is not None:
+            pooled = self.clip_pooler(prompts)
+        else:
+            pooled = jnp.zeros(
+                (len(prompts), self.cfg.text_states_dim_2), jnp.float32
+            )
+        return txt.astype(jnp.float32), mask, pooled.astype(jnp.float32)
 
     def __call__(
         self,
