@@ -1,8 +1,8 @@
-"""Causal 3D VAE decoder (HunyuanVideo) in JAX (NDHWC).
+"""Causal 3D VAE (HunyuanVideo) in JAX (NDHWC): encoder + decoder.
 
 Rebuild of zqqqqz2000/MixGRPO fastvideo/models/hunyuan/vae/
-{autoencoder_kl_causal_3d.py, unet_causal_3d_blocks.py, vae.py} (decoder
-path).  Structure:
+{autoencoder_kl_causal_3d.py, unet_causal_3d_blocks.py, vae.py}.
+Structure:
 
   - CausalConv3d: temporal padding (k-1, 0) replicate — frame t sees only
     frames <= t (unet_causal_3d_blocks.py:52-90); spatial SAME padding;
@@ -12,6 +12,12 @@ path).  Structure:
     blocks 1-2 (4x time / 8x space compression); the *first frame* is
     never temporally duplicated (split (1, T-1) upsample,
     unet_causal_3d_blocks.py:173-186) so T_out = 1 + (T_in - 1) * ratio;
+  - encoder (vae.py:28-133): conv_in -> 4 down blocks (2 resnets + strided
+    causal-conv downsample; spatial stride 2 in blocks 0-2, temporal
+    stride 2 in blocks 1-2) -> mid -> conv_out to 2*latent channels ->
+    quant_conv -> DiagonalGaussian posterior
+    (autoencoder_kl_causal_3d.py:285-320);
+  - decode applies post_quant_conv before the decoder (:344);
   - latent scaling 0.476986 applied by the caller.
 """
 
@@ -53,16 +59,25 @@ def _conv3d_init(key, k, cin, cout):
     }
 
 
-def _causal_conv3d(p, x, dtype=None):
-    """x: (B, T, H, W, C); temporal left-pad replicate, spatial SAME."""
+def _causal_conv3d(p, x, dtype=None, strides=(1, 1, 1)):
+    """x: (B, T, H, W, C); temporal left-pad replicate, spatial SAME.
+
+    ``strides=(t, h, w) > 1`` realizes DownsampleCausal3D
+    (unet_causal_3d_blocks.py:208-277): the same causal padding followed by
+    a strided conv.  All padding (temporal AND spatial) is replicate —
+    F.pad(mode='replicate') over the full (W, H, T) pad tuple
+    (unet_causal_3d_blocks.py:70-90)."""
     dtype = dtype or x.dtype
     kt, kh, kw = p["w"].shape[:3]
-    first = jnp.repeat(x[:, :1], kt - 1, axis=1) if kt > 1 else None
-    xt = jnp.concatenate([first, x], axis=1) if first is not None else x
+    xt = jnp.pad(
+        x,
+        ((0, 0), (kt - 1, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
+        mode="edge",
+    ) if (kt > 1 or kh > 1 or kw > 1) else x
     y = jax.lax.conv_general_dilated(
         xt.astype(dtype), p["w"].astype(dtype),
-        window_strides=(1, 1, 1),
-        padding=((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),
+        window_strides=tuple(strides),
+        padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
     return y + p["b"].astype(dtype)
@@ -186,33 +201,10 @@ def load_causal_vae_decoder(path: str, cfg: CausalVAEConfig):
     ``.conv`` submodule, so conv params live at ``<name>.conv.weight``;
     torch Conv3d weights are (out, in, kt, kh, kw) -> ours (kt, kh, kw, in,
     out)."""
-    import numpy as np
-
     from mixgrpo_tpu.models.flux.load import load_safetensors_dir
 
     st = load_safetensors_dir(path)
-
-    def conv(n):
-        w = st[f"{n}.conv.weight"].astype(np.float32)
-        return {
-            "w": np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0)),
-            "b": st[f"{n}.conv.bias"].astype(np.float32),
-        }
-
-    def gn(n):
-        return {"scale": st[f"{n}.weight"].astype(np.float32),
-                "bias": st[f"{n}.bias"].astype(np.float32)}
-
-    def resnet(n):
-        p = {"norm1": gn(f"{n}.norm1"), "conv1": conv(f"{n}.conv1"),
-             "norm2": gn(f"{n}.norm2"), "conv2": conv(f"{n}.conv2")}
-        if f"{n}.conv_shortcut.conv.weight" in st:
-            p["shortcut"] = conv(f"{n}.conv_shortcut")
-        return p
-
-    def lin(n):
-        return {"w": np.ascontiguousarray(st[f"{n}.weight"].astype(np.float32).T),
-                "b": st[f"{n}.bias"].astype(np.float32)}
+    conv, gn, resnet, lin = _vae_loader_helpers(st)
 
     d = "decoder"
     a = f"{d}.mid_block.attentions.0"
@@ -239,6 +231,9 @@ def load_causal_vae_decoder(path: str, cfg: CausalVAEConfig):
             blk["upsample"] = conv(f"{n}.upsamplers.0.conv")
         blocks.append(blk)
     params["up_blocks"] = blocks
+    if "post_quant_conv.weight" in st:
+        # applied before the decoder (autoencoder_kl_causal_3d.py:344)
+        params["post_quant_conv"] = _plain_conv_from(st, "post_quant_conv")
     return jax.tree.map(jnp.asarray, params)
 
 
@@ -247,6 +242,9 @@ def causal_vae_decode(
 ) -> jnp.ndarray:
     """(B, T, h, w, latent_ch) -> (B, 1+(T-1)*4, 8h, 8w, 3) in [-1, 1]."""
     g = cfg.norm_num_groups
+    if "post_quant_conv" in params:
+        # autoencoder_kl_causal_3d.py:344 (plain 1x1x1 Conv3d)
+        latents = _causal_conv3d(params["post_quant_conv"], latents, dtype)
     x = _causal_conv3d(params["conv_in"], latents.astype(dtype))
     x = _resnet(params["mid_res1"], x, g, dtype)
     x = _frame_attn(params["mid_attn"], x, g, dtype)
@@ -260,3 +258,175 @@ def causal_vae_decode(
             x = _causal_conv3d(blk["upsample"], x, dtype)
     x = jax.nn.silu(_group_norm(params["norm_out"], x, g))
     return _causal_conv3d(params["conv_out"], x).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# encoder (vae.py:28-133 EncoderCausal3D + autoencoder_kl_causal_3d.py encode)
+# ---------------------------------------------------------------------------
+
+
+def _block_downsample_strides(cfg: CausalVAEConfig, bi: int):
+    """(t, h, w) downsample strides for down-block bi (vae.py:62-90):
+    spatial stride 2 while bi < log2(spatial_ratio); temporal stride 2 in
+    the last log2(time_ratio) non-final blocks."""
+    import math
+
+    n = len(cfg.block_out_channels)
+    n_spatial = int(math.log2(cfg.spatial_compression_ratio))
+    n_time = int(math.log2(cfg.time_compression_ratio))
+    is_final = bi == n - 1
+    s = 2 if bi < n_spatial else 1
+    t = 2 if (bi >= n - 1 - n_time and not is_final) else 1
+    return t, s, s
+
+
+def init_causal_vae_encoder(key, cfg: CausalVAEConfig) -> Dict[str, Any]:
+    chans = cfg.block_out_channels
+    top = chans[-1]
+    g = cfg.norm_num_groups
+    ks = jax.random.split(key, 8 + len(chans))
+    params: Dict[str, Any] = {
+        "conv_in": _conv3d_init(ks[0], 3, cfg.out_channels, chans[0]),
+        "mid_res1": _resnet_init(ks[1], top, top, g),
+        "mid_attn": _attn_init(ks[2], top),
+        "mid_res2": _resnet_init(ks[3], top, top, g),
+        "norm_out": _gn_init(top),
+        "conv_out": _conv3d_init(ks[4], 3, top, 2 * cfg.latent_channels),
+        "quant_conv": _conv3d_init(
+            ks[5], 1, 2 * cfg.latent_channels, 2 * cfg.latent_channels
+        ),
+    }
+    blocks = []
+    cin = chans[0]
+    for bi, cout in enumerate(chans):
+        bkeys = jax.random.split(ks[6 + bi], cfg.layers_per_block + 1)
+        resnets = []
+        for li in range(cfg.layers_per_block):
+            resnets.append(_resnet_init(bkeys[li], cin, cout, g))
+            cin = cout
+        st, ss, _ = _block_downsample_strides(cfg, bi)
+        blk = {"resnets": resnets}
+        if st > 1 or ss > 1:
+            blk["downsample"] = _conv3d_init(bkeys[-1], 3, cout, cout)
+        blocks.append(blk)
+    params["down_blocks"] = blocks
+    return params
+
+
+def causal_vae_encode(
+    params,
+    cfg: CausalVAEConfig,
+    video: jnp.ndarray,  # (B, T, H, W, 3) in [-1, 1], T = 1 + k*time_ratio
+    rng=None,
+    *,
+    sample: bool = True,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """-> latents (B, 1+(T-1)/4, H/8, W/8, latent_ch), UNscaled.
+
+    DiagonalGaussian posterior: ``sample=True`` draws mean + std*eps
+    (needs ``rng``); ``sample=False`` returns the mode (mean) — the
+    reference's ``sample_posterior`` switch
+    (autoencoder_kl_causal_3d.py:285-320,608-620)."""
+    g = cfg.norm_num_groups
+    x = _causal_conv3d(params["conv_in"], video.astype(dtype))
+    for bi, blk in enumerate(params["down_blocks"]):
+        for rp in blk["resnets"]:
+            x = _resnet(rp, x, g, dtype)
+        if "downsample" in blk:
+            x = _causal_conv3d(
+                blk["downsample"], x, dtype,
+                strides=_block_downsample_strides(cfg, bi),
+            )
+    x = _resnet(params["mid_res1"], x, g, dtype)
+    x = _frame_attn(params["mid_attn"], x, g, dtype)
+    x = _resnet(params["mid_res2"], x, g, dtype)
+    x = jax.nn.silu(_group_norm(params["norm_out"], x, g))
+    moments = _causal_conv3d(params["conv_out"], x).astype(jnp.float32)
+    moments = _causal_conv3d(params["quant_conv"], moments)
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    if not sample:
+        return mean
+    assert rng is not None, "sampling the posterior needs an rng key"
+    std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+    return mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+
+
+def load_causal_vae_encoder(path: str, cfg: CausalVAEConfig):
+    """Load the reference-format causal-3D VAE encoder checkpoint
+    (``encoder.*`` + ``quant_conv`` names, autoencoder_kl_causal_3d.py)."""
+    import numpy as np
+
+    from mixgrpo_tpu.models.flux.load import load_safetensors_dir
+
+    st = load_safetensors_dir(path)
+    conv, gn, resnet, lin = _vae_loader_helpers(st)
+
+    e = "encoder"
+    a = f"{e}.mid_block.attentions.0"
+    params = {
+        "conv_in": conv(f"{e}.conv_in"),
+        "mid_res1": resnet(f"{e}.mid_block.resnets.0"),
+        "mid_attn": {
+            "norm": gn(f"{a}.group_norm"),
+            "q": lin(f"{a}.to_q"), "k": lin(f"{a}.to_k"),
+            "v": lin(f"{a}.to_v"), "out": lin(f"{a}.to_out.0"),
+        },
+        "mid_res2": resnet(f"{e}.mid_block.resnets.1"),
+        "norm_out": gn(f"{e}.conv_norm_out"),
+        "conv_out": conv(f"{e}.conv_out"),
+        "quant_conv": _plain_conv_from(st, "quant_conv"),
+    }
+    blocks = []
+    for bi in range(len(cfg.block_out_channels)):
+        n = f"{e}.down_blocks.{bi}"
+        blk = {"resnets": [
+            resnet(f"{n}.resnets.{li}") for li in range(cfg.layers_per_block)
+        ]}
+        if f"{n}.downsamplers.0.conv.conv.weight" in st:
+            blk["downsample"] = conv(f"{n}.downsamplers.0.conv")
+        blocks.append(blk)
+    params["down_blocks"] = blocks
+    return jax.tree.map(jnp.asarray, params)
+
+
+def _plain_conv_from(st, name):
+    """Plain nn.Conv3d (quant/post_quant) -> our conv params."""
+    import numpy as np
+
+    w = np.asarray(st[f"{name}.weight"], np.float32)
+    return {
+        "w": np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0)),
+        "b": np.asarray(st[f"{name}.bias"], np.float32),
+    }
+
+
+def _vae_loader_helpers(st):
+    """Shared name-mapping helpers for the causal-VAE loaders."""
+    import numpy as np
+
+    def conv(n):
+        w = np.asarray(st[f"{n}.conv.weight"], np.float32)
+        return {
+            "w": np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0)),
+            "b": np.asarray(st[f"{n}.conv.bias"], np.float32),
+        }
+
+    def gn(n):
+        return {"scale": np.asarray(st[f"{n}.weight"], np.float32),
+                "bias": np.asarray(st[f"{n}.bias"], np.float32)}
+
+    def resnet(n):
+        p = {"norm1": gn(f"{n}.norm1"), "conv1": conv(f"{n}.conv1"),
+             "norm2": gn(f"{n}.norm2"), "conv2": conv(f"{n}.conv2")}
+        if f"{n}.conv_shortcut.conv.weight" in st:
+            p["shortcut"] = conv(f"{n}.conv_shortcut")
+        return p
+
+    def lin(n):
+        return {
+            "w": np.ascontiguousarray(np.asarray(st[f"{n}.weight"], np.float32).T),
+            "b": np.asarray(st[f"{n}.bias"], np.float32),
+        }
+
+    return conv, gn, resnet, lin

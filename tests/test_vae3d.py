@@ -109,3 +109,142 @@ def test_causal_vae_loader_roundtrip(tmp_path):
     reloaded = load_causal_vae_decoder(str(f), cfg)
     for a_, b_ in zip(jax.tree.leaves(reloaded), jax.tree.leaves(params)):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# encoder (round 2: VERDICT r1 missing #3)
+# ---------------------------------------------------------------------------
+
+
+def test_encode_shapes():
+    from mixgrpo_tpu.models.hunyuan.vae3d import (
+        causal_vae_encode, init_causal_vae_encoder,
+    )
+
+    cfg = CausalVAEConfig.tiny()
+    params = init_causal_vae_encoder(jax.random.key(0), cfg)
+    video = jax.random.normal(jax.random.key(1), (1, 9, 32, 32, 3))
+    lat = causal_vae_encode(
+        params, cfg, video, rng=jax.random.key(2), dtype=jnp.float32
+    )
+    # time: 1 + (9-1)/4 = 3; space: 32/8 = 4
+    assert lat.shape == (1, 3, 4, 4, cfg.latent_channels)
+    assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_encode_single_frame_and_mode():
+    from mixgrpo_tpu.models.hunyuan.vae3d import (
+        causal_vae_encode, init_causal_vae_encoder,
+    )
+
+    cfg = CausalVAEConfig.tiny()
+    params = init_causal_vae_encoder(jax.random.key(0), cfg)
+    img = jax.random.normal(jax.random.key(1), (2, 1, 16, 16, 3))
+    mode = causal_vae_encode(params, cfg, img, sample=False, dtype=jnp.float32)
+    assert mode.shape == (2, 1, 2, 2, cfg.latent_channels)
+    s1 = causal_vae_encode(params, cfg, img, rng=jax.random.key(3), dtype=jnp.float32)
+    s2 = causal_vae_encode(params, cfg, img, rng=jax.random.key(4), dtype=jnp.float32)
+    # posterior sampling: different keys -> different draws around the mode
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_encode_decode_round_trip_shapes():
+    from mixgrpo_tpu.models.hunyuan.vae3d import (
+        causal_vae_encode, init_causal_vae_encoder,
+    )
+
+    cfg = CausalVAEConfig.tiny()
+    enc = init_causal_vae_encoder(jax.random.key(0), cfg)
+    dec = init_causal_vae_decoder(jax.random.key(1), cfg)
+    video = jax.random.normal(jax.random.key(2), (1, 5, 16, 16, 3))
+    lat = causal_vae_encode(enc, cfg, video, sample=False, dtype=jnp.float32)
+    out = causal_vae_decode(dec, cfg, lat, dtype=jnp.float32)
+    assert out.shape == video.shape
+
+
+def test_causal_conv_matches_torch_replicate_pad():
+    """_causal_conv3d == torch F.pad(replicate) + conv3d, stride 1 and 2
+    (CausalConv3d semantics, unet_causal_3d_blocks.py:52-90)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from mixgrpo_tpu.models.hunyuan.vae3d import _causal_conv3d, _conv3d_init
+
+    p = _conv3d_init(jax.random.key(0), 3, 4, 6)
+    x = np.asarray(jax.random.normal(jax.random.key(1), (1, 5, 8, 8, 4)), np.float32)
+    wt = torch.tensor(np.asarray(p["w"]).transpose(4, 3, 0, 1, 2))  # OIDHW
+    bt = torch.tensor(np.asarray(p["b"]))
+    xt = torch.tensor(x.transpose(0, 4, 1, 2, 3))  # NCDHW
+    for strides in [(1, 1, 1), (2, 2, 2), (1, 2, 2)]:
+        got = np.asarray(_causal_conv3d(p, jnp.asarray(x), strides=strides))
+        with torch.no_grad():
+            padded = F.pad(xt, (1, 1, 1, 1, 2, 0), mode="replicate")
+            want = F.conv3d(padded, wt, bt, stride=strides)
+        want = want.numpy().transpose(0, 2, 3, 4, 1)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_loader_round_trip(tmp_path):
+    """Synthetic reference-named checkpoint -> loader -> identical forward."""
+    from safetensors.numpy import save_file
+
+    from mixgrpo_tpu.models.hunyuan.vae3d import (
+        causal_vae_encode, init_causal_vae_encoder, load_causal_vae_encoder,
+    )
+
+    cfg = CausalVAEConfig.tiny()
+    params = init_causal_vae_encoder(jax.random.key(0), cfg)
+
+    st = {}
+
+    def put_conv(name, p):
+        st[f"{name}.weight"] = np.asarray(p["w"]).transpose(4, 3, 0, 1, 2)
+        st[f"{name}.bias"] = np.asarray(p["b"])
+
+    def put_cconv(name, p):  # CausalConv3d wraps Conv3d as .conv
+        put_conv(f"{name}.conv", p)
+
+    def put_gn(name, p):
+        st[f"{name}.weight"] = np.asarray(p["scale"])
+        st[f"{name}.bias"] = np.asarray(p["bias"])
+
+    def put_resnet(name, p):
+        put_gn(f"{name}.norm1", p["norm1"]); put_cconv(f"{name}.conv1", p["conv1"])
+        put_gn(f"{name}.norm2", p["norm2"]); put_cconv(f"{name}.conv2", p["conv2"])
+        if "shortcut" in p:
+            put_cconv(f"{name}.conv_shortcut", p["shortcut"])
+
+    def put_lin(name, p):
+        st[f"{name}.weight"] = np.asarray(p["w"]).T
+        st[f"{name}.bias"] = np.asarray(p["b"])
+
+    e = "encoder"
+    put_cconv(f"{e}.conv_in", params["conv_in"])
+    put_resnet(f"{e}.mid_block.resnets.0", params["mid_res1"])
+    put_resnet(f"{e}.mid_block.resnets.1", params["mid_res2"])
+    a = f"{e}.mid_block.attentions.0"
+    put_gn(f"{a}.group_norm", params["mid_attn"]["norm"])
+    put_lin(f"{a}.to_q", params["mid_attn"]["q"])
+    put_lin(f"{a}.to_k", params["mid_attn"]["k"])
+    put_lin(f"{a}.to_v", params["mid_attn"]["v"])
+    put_lin(f"{a}.to_out.0", params["mid_attn"]["out"])
+    put_gn(f"{e}.conv_norm_out", params["norm_out"])
+    put_cconv(f"{e}.conv_out", params["conv_out"])
+    put_conv("quant_conv", params["quant_conv"])
+    for bi, blk in enumerate(params["down_blocks"]):
+        n = f"{e}.down_blocks.{bi}"
+        for li, rp in enumerate(blk["resnets"]):
+            put_resnet(f"{n}.resnets.{li}", rp)
+        if "downsample" in blk:
+            put_cconv(f"{n}.downsamplers.0.conv", blk["downsample"])
+
+    save_file({k: np.ascontiguousarray(v) for k, v in st.items()},
+              str(tmp_path / "vae.safetensors"))
+    loaded = load_causal_vae_encoder(str(tmp_path / "vae.safetensors"), cfg)
+
+    video = jax.random.normal(jax.random.key(5), (1, 5, 16, 16, 3))
+    want = causal_vae_encode(params, cfg, video, sample=False, dtype=jnp.float32)
+    got = causal_vae_encode(loaded, cfg, video, sample=False, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
