@@ -22,10 +22,10 @@ Structural parity notes (file:line cite the reference):
     area-normalized (t, h, w) center coordinates (:443-512).
   - Conditioning: timestep embedding + attention-pooled T5 caption
     features; caption tokens projected 4096 -> 1536 for the text stream
-    (MochiCombinedTimestepCaptionEmbedding).  NOTE: the caption pooler here
-    is a single-query attention pool (learned query over token features) —
-    a simplification of diffusers' multi-head MochiAttentionPool; faithful
-    pooler weights are a TODO for checkpoint-compatible loading.
+    (MochiCombinedTimestepCaptionEmbedding).  The caption pooler is the
+    checkpoint-compatible multi-head MochiAttentionPool (masked-mean query
+    token over [mean|tokens] keys; weights at time_embed.pooler.to_kv/
+    to_q/to_out — see convert_diffusers_to_mochi.py:58-69).
   - final_layer context_pre_only on the last block (text stream gets only
     a modulated norm, no update) (:304-342).
 """
@@ -53,6 +53,7 @@ class MochiConfig:
     text_dim: int = 1536  # pooled_projection_dim (text stream width)
     text_embed_dim: int = 4096  # T5 features in
     time_freq_dim: int = 256
+    pool_heads: int = 8  # MochiAttentionPool num_attention_heads
     max_text_len: int = 256
     base_height: int = 192
     base_width: int = 192
@@ -155,6 +156,7 @@ def _block_init(key, cfg: MochiConfig, context_pre_only: bool):
     else:
         p["mod_c"] = {"lin": L.linear_init(ks[6], d, 4 * td)}
         p["add_q"] = nb(ks[7], td, d)
+        p["add_qnorm"] = jnp.ones((cfg.head_dim,), jnp.float32)
         p["attn_out_c"] = nb(ks[8], d, td)
         p["ff_c_in"] = nb(ks[9], td, 2 * cfg.ff_context_inner)
         p["ff_c_out"] = nb(ks[10], cfg.ff_context_inner, td)
@@ -188,7 +190,7 @@ def _mochi_block(p, cfg: MochiConfig, x, c, temb, rope_cos, rope_sin,
     ck = L.rms_norm(ck, p["add_knorm"], eps)
     if not context_pre_only:
         cq = split(L.linear(p["add_q"], cn, dtype))
-        cq = L.rms_norm(cq, p["qnorm"], eps)
+        cq = L.rms_norm(cq, p["add_qnorm"], eps)
         q = jnp.concatenate([q, cq], axis=2)
     k = jnp.concatenate([k, ck], axis=2)
     v = jnp.concatenate([v, cv], axis=2)
@@ -216,6 +218,43 @@ def _mochi_block(p, cfg: MochiConfig, x, c, temb, rope_cos, rope_sin,
     return x, c
 
 
+def _attention_pool(p, txt, text_mask, num_heads: int, dtype):
+    """MochiAttentionPool (diffusers embeddings; loaded from
+    time_embed.pooler.*): prepend the masked-mean token, use it as the
+    single query, multi-head attention over the 1+L keys, project to the
+    conditioning width."""
+    B, Lt, D = txt.shape
+    x = txt.astype(jnp.float32)
+    if text_mask is not None:
+        m = text_mask.astype(jnp.float32)
+    else:
+        m = jnp.ones((B, Lt), jnp.float32)
+    mean = jnp.einsum("bl,bld->bd", m, x) / jnp.maximum(
+        jnp.sum(m, axis=1, keepdims=True), 1.0
+    )
+    x = jnp.concatenate([mean[:, None], x], axis=1)  # (B, 1+L, D)
+    kv = L.linear(p["to_kv"], x.astype(dtype), dtype)
+    k, v = jnp.split(kv, 2, axis=-1)
+    q = L.linear(p["to_q"], x[:, 0].astype(dtype), dtype)  # (B, D)
+    hd = D // num_heads
+    k = k.reshape(B, 1 + Lt, num_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, 1 + Lt, num_heads, hd).transpose(0, 2, 1, 3)
+    q = q.reshape(B, num_heads, 1, hd)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (hd**-0.5)
+    key_valid = jnp.concatenate([jnp.ones((B, 1), jnp.float32), m], axis=1)
+    logits = jnp.where(
+        key_valid[:, None, None, :] > 0, logits, jnp.finfo(jnp.float32).min
+    )
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    o = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+    )
+    o = o.reshape(B, D).astype(dtype)
+    return L.linear(p["to_out"], o, dtype)
+
+
 def init_mochi(key, cfg: MochiConfig) -> Dict[str, Any]:
     d, td = cfg.dim, cfg.text_dim
     ks = jax.random.split(key, 8 + cfg.num_layers)
@@ -225,12 +264,18 @@ def init_mochi(key, cfg: MochiConfig) -> Dict[str, Any]:
     body_blocks = [
         _block_init(k, cfg, context_pre_only=False) for k in ks[8:-1]
     ]
+    te = cfg.text_embed_dim
     params = {
         "patch_embed": L.linear_init(ks[0], pe, d),
         "time_in": L.mlp_embedder_init(ks[1], cfg.time_freq_dim, d),
-        # attention pooling of caption features (combined embedding)
-        "pool_q": jax.random.normal(ks[2], (cfg.text_embed_dim,), jnp.float32) * 0.02,
-        "pool_proj": L.linear_init(ks[3], cfg.text_embed_dim, d),
+        # MochiAttentionPool (diffusers layout: time_embed.pooler.to_kv/
+        # to_q/to_out; convert_diffusers_to_mochi.py:58-69): masked-mean
+        # token as the single query, multi-head attention over [mean|tokens]
+        "pooler": {
+            "to_kv": L.linear_init(ks[2], te, 2 * te),
+            "to_q": L.linear_init(jax.random.fold_in(ks[2], 1), te, te),
+            "to_out": L.linear_init(ks[3], te, d),
+        },
         "caption_proj": L.linear_init(ks[4], cfg.text_embed_dim, td),
         "pos_frequencies": jax.random.normal(
             ks[5], (3, cfg.num_heads, cfg.head_dim // 2), jnp.float32
@@ -268,14 +313,9 @@ def mochi_forward(
         params["time_in"],
         L.timestep_embedding(timestep * 1000.0, cfg.time_freq_dim), dtype,
     )
-    logits = jnp.einsum(
-        "bld,d->bl", txt.astype(jnp.float32), params["pool_q"].astype(jnp.float32)
+    temb = temb + _attention_pool(
+        params["pooler"], txt, text_mask, cfg.pool_heads, dtype
     )
-    if text_mask is not None:
-        logits = jnp.where(text_mask.astype(bool), logits, -1e30)
-    w = jax.nn.softmax(logits, axis=-1)
-    pooled = jnp.einsum("bl,bld->bd", w, txt.astype(jnp.float32))
-    temb = temb + L.linear(params["pool_proj"], pooled.astype(dtype), dtype)
 
     c = L.linear(params["caption_proj"], txt.astype(dtype), dtype)
 

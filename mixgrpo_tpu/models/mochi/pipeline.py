@@ -31,9 +31,12 @@ class MochiPipeline:
         lq_threshold: float = 0.025,
         dtype=jnp.bfloat16,
         attn_impl: str = "xla",
+        vae_cfg=None,  # models.mochi.vae.MochiVAEConfig
+        vae_params=None,
     ):
         self.cfg = cfg
         self.params = params
+        self.vae_cfg, self.vae_params = vae_cfg, vae_params
         self.num_steps = num_steps
         self.guidance_scale = guidance_scale
         self.dtype = dtype
@@ -79,8 +82,9 @@ class MochiPipeline:
         neg_mask: Optional[jnp.ndarray] = None,
         rng=None,
     ) -> jnp.ndarray:
-        """Returns raw DiT-space latents; de-standardize + VAE-decode
-        downstream (the Mochi VAE is an external asset)."""
+        """Returns decoded video in [0, 1] when constructed with a VAE
+        (pipeline_mochi.py decode path: de-standardize per channel, decode,
+        map [-1, 1] -> [0, 1]); raw DiT-space latents otherwise."""
         rng = rng if rng is not None else jax.random.key(0)
         B = txt.shape[0]
         lt = (num_frames - 1) // 6 + 1  # Mochi VAE: 6x temporal compression
@@ -92,4 +96,14 @@ class MochiPipeline:
         if neg_txt is None:
             neg_txt = jnp.zeros_like(txt)
             neg_mask = jnp.ones(txt.shape[:2], jnp.int32)
-        return self._sample(self.params, z0, txt, text_mask, neg_txt, neg_mask)
+        lat = self._sample(self.params, z0, txt, text_mask, neg_txt, neg_mask)
+        if self.vae_params is None:
+            return lat
+        from mixgrpo_tpu.models.mochi.latents import denormalize_dit_output
+        from mixgrpo_tpu.models.mochi.vae import mochi_vae_decode
+
+        if lat.shape[-1] == 12:  # published per-channel stats are 12-ch
+            lat = denormalize_dit_output(lat)
+        video = mochi_vae_decode(self.vae_params, self.vae_cfg, lat,
+                                 dtype=self.dtype)
+        return jnp.clip(video * 0.5 + 0.5, 0.0, 1.0)
