@@ -245,12 +245,20 @@ def flux_forward(
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     remat=True,
+    virtual_depth: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Predict rectified-flow velocity for packed image tokens.
 
     Mirrors the reference call contract (fastvideo/train_grpo_flux.py:134-144):
     timestep/guidance are scaled by 1000 internally before sinusoidal
     embedding, conditioning vec = time + guidance + pooled projections.
+
+    ``virtual_depth=(DD, DS)`` executes DD double / DS single block
+    applications by cycling the resident weight stacks modulo their true
+    depth (benchmarking aid: a full-depth forward's compute and per-block
+    HBM weight traffic are executed exactly even when the full parameter
+    set exceeds one chip's HBM — each scan iteration dynamic-slices and
+    streams one block's weights from HBM, identical to a true full stack).
     """
     x = L.linear(params["x_embedder"], img, dtype)
     c = L.linear(params["context_embedder"], txt, dtype)
@@ -292,9 +300,26 @@ def flux_forward(
         double_body = jax.checkpoint(double_body, prevent_cse=False, policy=policy)
         single_body = jax.checkpoint(single_body, prevent_cse=False, policy=policy)
 
-    (x, c), _ = jax.lax.scan(double_body, (x, c), params["double"])
-    joint = jnp.concatenate([c, x], axis=1)
-    joint, _ = jax.lax.scan(single_body, joint, params["single"])
+    if virtual_depth is None:
+        (x, c), _ = jax.lax.scan(double_body, (x, c), params["double"])
+        joint = jnp.concatenate([c, x], axis=1)
+        joint, _ = jax.lax.scan(single_body, joint, params["single"])
+    else:
+        vd, vs = virtual_depth
+        kd = jax.tree.leaves(params["double"])[0].shape[0]
+        ks = jax.tree.leaves(params["single"])[0].shape[0]
+
+        def double_cycle(carry, i):
+            p = jax.tree.map(lambda w: w[i % kd], params["double"])
+            return double_body(carry, p)
+
+        def single_cycle(carry, i):
+            p = jax.tree.map(lambda w: w[i % ks], params["single"])
+            return single_body(carry, p)
+
+        (x, c), _ = jax.lax.scan(double_cycle, (x, c), jnp.arange(vd))
+        joint = jnp.concatenate([c, x], axis=1)
+        joint, _ = jax.lax.scan(single_cycle, joint, jnp.arange(vs))
     x = joint[:, c.shape[1] :]
 
     scale, shift = L.modulation(params["final_mod"], vec, 2, dtype)

@@ -151,3 +151,24 @@ def test_rope_attention_is_translation_invariant():
         return np.asarray(jnp.einsum("bhqd,bhkd->bhqk", qr, kr))
 
     np.testing.assert_allclose(logits(ids_a), logits(ids_b), rtol=1e-4, atol=1e-5)
+
+
+def test_virtual_depth_matches_plain(tiny_setup):
+    """virtual_depth equal to the true stack depth must reproduce the
+    normal scan exactly (benchmarking aid used by bench.py)."""
+    cfg, params, args = tiny_setup
+    a = flux_forward(params, cfg, *args, dtype=jnp.float32, attn_impl="xla",
+                     remat=False)
+    b = flux_forward(params, cfg, *args, dtype=jnp.float32, attn_impl="xla",
+                     remat=False,
+                     virtual_depth=(cfg.depth_double, cfg.depth_single))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_virtual_depth_runs_deeper_than_stack(tiny_setup):
+    cfg, params, args = tiny_setup
+    out = flux_forward(
+        params, cfg, *args, dtype=jnp.float32, attn_impl="xla", remat=False,
+        virtual_depth=(cfg.depth_double * 3 + 1, cfg.depth_single * 2 + 1),
+    )
+    assert np.isfinite(np.asarray(out)).all()
