@@ -1,0 +1,149 @@
+"""Learning-signal validation: GRPO vs a frozen no-update control, plus a
+MixGRPO-vs-DanceGRPO per-iteration cost comparison.
+
+Runs the full MixGRPO loop (tiny FLUX, synthetic brightness reward) twice
+with identical seeds — once training, once with lr=0 — and reports the
+reward improvement in units of the control run's reward std.  The paper's
+core efficiency claim (SURVEY.md §6: MixGRPO cuts training overhead ~50%
+vs DanceGRPO) is checked by timing one iteration under
+training_strategy="part" (sliding window) vs "all" (DanceGRPO baseline,
+timestep_fraction 0.6).
+
+Usage: python scripts/validate_learning.py [--steps 150] [--lr 5e-3]
+Writes a JSON summary to stdout; paste the numbers into PERF.md.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def build(tmp, lr, steps, strategy="part", seed=714):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mixgrpo_tpu.config import (
+        DataConfig, GRPOConfig, OptimConfig, RunConfig, TrainConfig,
+        WindowConfig,
+    )
+    from mixgrpo_tpu.data.dataset import (
+        EmbeddingCacheWriter, LatentDataset, PromptLoader,
+    )
+    from mixgrpo_tpu.models.flux.model import FluxConfig
+    from mixgrpo_tpu.models.flux.vae import VAEConfig, init_vae_decoder
+    from mixgrpo_tpu.parallel.mesh import MeshConfig
+    from mixgrpo_tpu.train import GRPOTrainer
+
+    cfg = TrainConfig(
+        data=DataConfig(data_json_path=f"{tmp}/cache", train_batch_size=1),
+        optim=OptimConfig(max_train_steps=steps, gradient_accumulation_steps=4,
+                          learning_rate=lr, gradient_checkpointing=False),
+        grpo=GRPOConfig(h=64, w=64, sampling_steps=8, num_generations=8,
+                        use_group=True, init_same_noise=True,
+                        training_strategy=strategy,
+                        advantage_rerange_strategy="balance", clip_range=0.2,
+                        timestep_fraction=0.6, eta=0.7, seed=seed,
+                        sampler_seed=seed * 10),
+        window=WindowConfig(iters_per_group=10, group_size=3, roll_back=True),
+        run=RunConfig(output_dir=f"{tmp}/out_{strategy}_{lr}",
+                      checkpointing_steps=10_000),
+        mesh=MeshConfig(dp=1, fsdp=1, sp=1, tp=1),
+    )
+    flux_cfg = FluxConfig.tiny()
+    vae_cfg = VAEConfig.tiny(latent_channels=flux_cfg.in_channels // 4)
+    vae_params = init_vae_decoder(jax.random.key(5), vae_cfg)
+    cfg.reward.reward_model = "multi_reward"
+
+    def brightness(images01, captions):
+        r = np.asarray(images01, np.float64).mean(axis=(1, 2, 3))
+        return {"synthetic": r}, {"synthetic": np.ones_like(r)}
+
+    trainer = GRPOTrainer(
+        cfg, flux_cfg=flux_cfg, vae_cfg=vae_cfg, vae_params=vae_params,
+        reward_fn=brightness, text_len=8, attn_impl="xla", dtype=jnp.float32,
+    )
+    trainer.reward_weights = {"synthetic": 1.0}
+
+    import os
+
+    if not os.path.exists(f"{tmp}/cache/manifest.json"):
+        w = EmbeddingCacheWriter(f"{tmp}/cache")
+        rng = np.random.default_rng(0)
+        for i in range(4):
+            w.add(rng.normal(size=(8, flux_cfg.context_dim)).astype(np.float32),
+                  rng.normal(size=(flux_cfg.pooled_dim,)).astype(np.float32),
+                  f"p{i}")
+        w.finish()
+    loader = PromptLoader(LatentDataset(f"{tmp}/cache"), 1, seed=0)
+    return trainer, loader, cfg
+
+
+def run(trainer, loader, cfg, steps):
+    rewards, times = [], []
+    it = iter(loader)
+    for _ in range(steps):
+        ts = trainer.window.get_current_timesteps()
+        trainer.window.update_iteration(rng=cfg.grpo.seed + trainer.global_step)
+        t0 = time.time()
+        m = trainer.train_one_step(next(it), ts)
+        times.append(time.time() - t0)
+        trainer.global_step += 1
+        rewards.append(m["reward"])
+    return rewards, times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--tmp", default="/tmp/validate_learning")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    # trained run
+    tr, loader, cfg = build(args.tmp, args.lr, args.steps)
+    rewards, _ = run(tr, loader, cfg, args.steps)
+    # control: identical seeds, zero learning rate
+    tc, loader_c, cfg_c = build(args.tmp, 0.0, args.steps)
+    control, _ = run(tc, loader_c, cfg_c, args.steps)
+
+    k = max(args.steps // 5, 1)
+    rewards, control = np.asarray(rewards), np.asarray(control)
+    # identical seeds => the control run is the exact no-update
+    # counterfactual (same rollout noise sequence); the paired difference
+    # isolates the learning effect from shared sampling noise
+    paired = rewards - control
+    improvement = float(np.mean(paired[-k:]))
+    control_std = float(np.std(control))
+    control_drift = float(np.mean(control[-k:]) - np.mean(control[:k]))
+
+    # MixGRPO (window) vs DanceGRPO ("all") per-iteration wall-clock
+    tp, lp, cp = build(args.tmp, args.lr, 4, strategy="part", seed=1)
+    _, t_part = run(tp, lp, cp, 4)
+    ta, la, ca = build(args.tmp, args.lr, 4, strategy="all", seed=1)
+    _, t_all = run(ta, la, ca, 4)
+
+    print(json.dumps({
+        "steps": args.steps,
+        "reward_first_k_mean": round(float(np.mean(rewards[:k])), 5),
+        "reward_last_k_mean": round(float(np.mean(rewards[-k:])), 5),
+        "control_last_k_mean": round(float(np.mean(control[-k:])), 5),
+        "improvement": round(improvement, 5),
+        "control_std": round(control_std, 5),
+        "control_drift": round(control_drift, 5),
+        "improvement_over_control_std": round(improvement / max(control_std, 1e-9), 2),
+        "mixgrpo_step_seconds": round(float(np.median(t_part[1:])), 3),
+        "dancegrpo_step_seconds": round(float(np.median(t_all[1:])), 3),
+        "step_time_ratio": round(
+            float(np.median(t_all[1:]) / np.median(t_part[1:])), 2
+        ),
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

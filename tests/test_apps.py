@@ -13,6 +13,9 @@ from mixgrpo_tpu.models.flux.vae import VAEConfig, init_vae_decoder
 from mixgrpo_tpu.sample import DualFluxPipeline, calculate_shift, dynamic_shift_sigmas
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_calculate_shift_endpoints():
     # diffusers constants: mu(256)=0.5, mu(4096)=1.16
     assert abs(calculate_shift(256) - 0.5) < 1e-9

@@ -9,6 +9,9 @@ from mixgrpo_tpu.ops.attention import _xla_attention
 from mixgrpo_tpu.ops.flash_attention import flash_attention
 
 
+pytestmark = pytest.mark.slow
+
+
 def _rand_qkv(key, B, H, S, D, dtype=jnp.float32):
     ks = jax.random.split(key, 3)
     return tuple(jax.random.normal(k, (B, H, S, D), dtype) for k in ks)

@@ -1,5 +1,6 @@
 """HunyuanVideo end-to-end T2V pipeline on tiny configs."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +8,9 @@ import numpy as np
 from mixgrpo_tpu.models.hunyuan.model import HunyuanVideoConfig, init_hunyuan_video
 from mixgrpo_tpu.models.hunyuan.pipeline import HunyuanVideoPipeline
 from mixgrpo_tpu.models.hunyuan.vae3d import CausalVAEConfig, init_causal_vae_decoder
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_t2v_pipeline_end_to_end():

@@ -18,6 +18,9 @@ from mixgrpo_tpu.trainer import get_optimizer
 from mixgrpo_tpu.utils.ema import ema_init, ema_update
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_lora_zero_init_is_identity_then_trains():
     cfg = FluxConfig.tiny()
     params = init_flux(jax.random.key(0), cfg)

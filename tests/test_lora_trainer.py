@@ -1,5 +1,6 @@
 """GRPO training in LoRA mode: base frozen, adapters move, resume works."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,9 @@ from mixgrpo_tpu.data.dataset import LatentDataset, PromptLoader
 from mixgrpo_tpu.models.flux.model import FluxConfig
 from mixgrpo_tpu.models.flux.vae import VAEConfig, init_vae_decoder
 from mixgrpo_tpu.train import GRPOTrainer
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_lora_training_moves_adapters_only(tmp_path):

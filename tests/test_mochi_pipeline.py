@@ -1,11 +1,15 @@
 """Mochi T2V pipeline: CFG sampling over the linear-quadratic schedule."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mixgrpo_tpu.models.mochi import MochiConfig, init_mochi
 from mixgrpo_tpu.models.mochi.pipeline import MochiPipeline
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_mochi_pipeline_cfg():

@@ -1,5 +1,6 @@
 """Mochi VAE decoder + diffusers-format loaders (DiT and VAE)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,9 @@ from mixgrpo_tpu.models.mochi.vae import (
     MochiVAEConfig, init_mochi_vae_decoder, load_mochi_vae_decoder,
     mochi_vae_decode,
 )
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_mochi_vae_decode_shapes():

@@ -1,5 +1,6 @@
 """Rollout scan: ODE exactness, SDE log-probs, window masking, Flash padding."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,9 @@ from mixgrpo_tpu.solvers.schedule import (
     flash_post_schedule,
     sigma_schedule,
 )
+
+
+pytestmark = pytest.mark.slow
 
 
 def _exact_model_fn(x0, eps):

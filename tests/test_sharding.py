@@ -19,6 +19,9 @@ from mixgrpo_tpu.parallel import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 def _tiny_inputs(cfg, B=8, lh=8, lw=8, lt=4):
     key = jax.random.key(0)
     img = jax.random.normal(key, (B, (lh // 2) * (lw // 2), cfg.in_channels))

@@ -5,6 +5,7 @@ decode, reward -> group advantages, balanced PPO updates, window advance,
 metrics, checkpoint + resume) on the 8-device CPU mesh.
 """
 
+import pytest
 import json
 import os
 
@@ -20,6 +21,9 @@ from mixgrpo_tpu.models.flux.model import FluxConfig
 from mixgrpo_tpu.models.flux.vae import VAEConfig, init_vae_decoder
 from mixgrpo_tpu.parallel.mesh import MeshConfig
 from mixgrpo_tpu.train import GRPOTrainer
+
+
+pytestmark = pytest.mark.slow
 
 
 def _make_cfg(tmp_path, steps=2, strategy="part", dpm="null"):

@@ -1,5 +1,6 @@
 """End-to-end GRPO mechanics on a tiny FLUX: rollout -> advantage -> update."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,9 @@ from mixgrpo_tpu.trainer import (
     make_optimizer,
     make_update_fns,
 )
+
+
+pytestmark = pytest.mark.slow
 
 
 def _setup(T=6, window=(2, 3), G=4, n_prompts=2):

@@ -1,5 +1,6 @@
 """Ulysses SP attention == dense attention; full FLUX forward under SP."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,9 @@ from mixgrpo_tpu.models.flux import (
 from mixgrpo_tpu.ops.attention import _xla_attention
 from mixgrpo_tpu.parallel import MeshConfig, make_mesh, shard_params
 from mixgrpo_tpu.parallel.ulysses import set_sp_context, ulysses_attention
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_ulysses_matches_dense():

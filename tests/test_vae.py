@@ -1,5 +1,6 @@
 """VAE decoder: shapes, upsampling factor, finiteness, jit."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,9 @@ from mixgrpo_tpu.models.flux.vae import (
     postprocess_images,
     vae_decode,
 )
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_decode_shape_and_range():

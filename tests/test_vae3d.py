@@ -1,5 +1,6 @@
 """Causal 3D VAE decoder: shapes, causality, first-frame temporal handling."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,9 @@ from mixgrpo_tpu.models.hunyuan.vae3d import (
     causal_vae_decode,
     init_causal_vae_decoder,
 )
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_decode_shapes():

@@ -1,5 +1,6 @@
 """HunyuanVideo + Mochi video DiTs: shapes, grads, scheduler, rope ids."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,9 @@ from mixgrpo_tpu.models.hunyuan import (
     make_video_ids,
 )
 from mixgrpo_tpu.models.mochi import MochiConfig, init_mochi, mochi_forward
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_video_ids_layout():
