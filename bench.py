@@ -90,7 +90,10 @@ def _build():
             virtual_depth=(FULL_DD, FULL_DS),
         )
 
-    return step, params, img
+    from mixgrpo_tpu.ops.quant import quantize_flux_params
+
+    qparams = jax.jit(quantize_flux_params)(params)
+    return step, params, qparams, img
 
 
 def _time_forward(step, params, img, n=10):
@@ -119,20 +122,26 @@ def _time_forward(step, params, img, n=10):
 
 def main():
     _enable_compile_cache()
-    step, params, img = _build()
+    step, params, qparams, img = _build()
     # t_full is the MEASURED wall-clock of one full-depth (19+38 block
     # applications) forward on the real chip
     t_full = _time_forward(step, params, img, n=4)
     imgs_per_sec = 1.0 / (STEPS * t_full)
+    # opt-in int8 rollout mode (--rollout_quant int8, ops/quant.py)
+    t_int8 = _time_forward(step, qparams, img, n=4)
+    int8_imgs_per_sec = 1.0 / (STEPS * t_int8)
 
     S = TEXT_LEN + (HEIGHT // 16) ** 2
     # Per-TOKEN matmul params only (adaLN modulation heads act on the
-    # (B, hidden) conditioning vector, not per token, and are negligible
-    # at B=1): double block = 2x(qkv 3072x9216 + out 3072^2 + mlp
-    # 2x3072x12288) = 226.5M; single = linear1 3072x21504 + linear2
-    # 15360x3072 = 113.3M; embedders ~13M per token-side.
-    params_block_d, params_block_s = 226.5e6, 113.3e6
-    params_full = FULL_DD * params_block_d + FULL_DS * params_block_s + 13e6
+    # (B, hidden) conditioning vector, not per token, and are negligible at
+    # B=1).  In a double-stream block each token passes through exactly ONE
+    # stream's weights (txt tokens through txt_{qkv,attn_out,mlp}, img
+    # through img_*), so the per-token weight load is one stream:
+    # qkv 3072x9216 + out 3072^2 + mlp 2x3072x12288 = 113.25M — NOT the
+    # block's total 226.5M across both streams.  Single block: fused
+    # linear1 3072x21504 + linear2 15360x3072 = 113.3M, all joint tokens.
+    params_per_token_d, params_per_token_s = 113.25e6, 113.3e6
+    params_full = FULL_DD * params_per_token_d + FULL_DS * params_per_token_s + 13e6
     attn_flops = lambda L: 4 * S * S * 3072 * L  # qk^T + pv per joint layer
     flops_full = 2 * params_full * S + attn_flops(FULL_DD + FULL_DS)
 
@@ -154,6 +163,10 @@ def main():
         "mfu": round(mfu, 4),
         "vs_baseline_basis": "measured MFU / assumed 0.40 reference GPU MFU"
                              " (no published reference numbers)",
+        "int8_rollout_value": round(int8_imgs_per_sec, 4),
+        "int8_rollout_note": "opt-in --rollout_quant int8 behavior policy"
+                             " (ops/quant.py); same measured full-depth"
+                             " method; bf16 is the default/headline",
     }))
 
 

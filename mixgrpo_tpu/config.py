@@ -86,6 +86,10 @@ class GRPOConfig:
     frozen_init_timesteps: int = -1
     kl_coeff: float = 0.0
     guidance_scale: float = 3.5
+    # "int8": quantize rollout weights per-channel int8 + dynamic per-token
+    # activations — ~2x rollout throughput on TPU MXUs (ops/quant.py); the
+    # quantized net is the behavior policy, so PPO ratios stay valid.
+    rollout_quant: str = "none"  # none|int8
 
 
 @dataclasses.dataclass

@@ -35,6 +35,10 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True):
 
 def linear(p, x, dtype=None):
     dtype = dtype or x.dtype
+    if "w_q" in p:  # int8-quantized weights (ops/quant.py) — MXU int8 path
+        from mixgrpo_tpu.ops.quant import qlinear
+
+        return qlinear(p, x, dtype)
     y = x.astype(dtype) @ p["w"].astype(dtype)
     if "b" in p:
         y = y + p["b"].astype(dtype)

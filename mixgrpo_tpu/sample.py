@@ -73,8 +73,17 @@ class DualFluxPipeline:
         text_len: int = 512,
         dtype=jnp.bfloat16,
         attn_impl: str = "auto",
+        quant: str = "none",
     ):
         self.flux_cfg = flux_cfg
+        if quant == "int8":  # ~2x sampling throughput on TPU (ops/quant.py)
+            from mixgrpo_tpu.ops.quant import quantize_flux_params
+
+            q = jax.jit(quantize_flux_params)
+            base_params = q(base_params)
+            tuned_params = q(tuned_params) if tuned_params is not None else None
+        elif quant != "none":
+            raise ValueError(f"unknown quant {quant!r}")
         self.base_params = base_params
         self.tuned_params = tuned_params
         self.vae_cfg, self.vae_params = vae_cfg, vae_params
@@ -174,6 +183,8 @@ def main():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--clip_bpe_path", type=str,
                    default=os.environ.get("CLIP_BPE_PATH"))
+    p.add_argument("--quant", type=str, default="none", choices=["none", "int8"],
+                   help="int8: quantized DiT sampling (~2x throughput on TPU)")
     args = p.parse_args()
 
     from transformers import AutoTokenizer
@@ -212,7 +223,7 @@ def main():
         flux_cfg, base, tuned, vae_cfg=vae_cfg, vae_params=vae,
         height=args.h, width=args.w, num_steps=args.sampling_steps,
         mix_sampling_steps=args.mix_sampling_steps,
-        guidance_scale=args.guidance_scale,
+        guidance_scale=args.guidance_scale, quant=args.quant,
     )
 
     prompts = read_prompts(args.prompt_path)

@@ -148,6 +148,13 @@ class GRPOTrainer:
             from mixgrpo_tpu.utils.ema import ema_init
 
             self.ema_params = ema_init(self.params)
+        self._quantize = None
+        if cfg.grpo.rollout_quant == "int8":
+            from mixgrpo_tpu.ops.quant import quantize_flux_params
+
+            self._quantize = jax.jit(quantize_flux_params)
+        elif cfg.grpo.rollout_quant != "none":
+            raise ValueError(f"unknown rollout_quant {cfg.grpo.rollout_quant!r}")
         self.window: SlidingWindowState = window_state_from_config(cfg)
         self.base_sigmas = sigma_schedule(cfg.grpo.sampling_steps, cfg.grpo.shift)
         self.global_step = 0
@@ -268,6 +275,8 @@ class GRPOTrainer:
             self._merge(self.params, self.lora_factors)
             if self.use_lora else self.params
         )
+        if self._quantize is not None:
+            rollout_params = self._quantize(rollout_params)
         z0 = self.sampler.init_noise(
             k_noise, B, same_noise_groups=G if cfg.grpo.init_same_noise else None
         )

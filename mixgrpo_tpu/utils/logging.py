@@ -13,6 +13,8 @@ from __future__ import annotations
 import collections
 import json
 import os
+import pdb
+import sys
 import time
 from typing import Dict, Optional
 
@@ -22,6 +24,21 @@ import jax
 def main_print(*args, **kwargs) -> None:
     if jax.process_index() == 0:
         print(*args, **kwargs)
+
+
+class ForkedPdb(pdb.Pdb):
+    """Pdb usable from a forked multiprocessing child (e.g. a dataloader
+    worker): reopens the controlling terminal's stdin for the interaction.
+    Counterpart of fastvideo/utils/logging_.py:14-26.
+    """
+
+    def interaction(self, *args, **kwargs):
+        _stdin = sys.stdin
+        try:
+            sys.stdin = open("/dev/stdin")
+            pdb.Pdb.interaction(self, *args, **kwargs)
+        finally:
+            sys.stdin = _stdin
 
 
 class MetricLogger:

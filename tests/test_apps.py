@@ -57,6 +57,26 @@ def test_dual_pipeline_mixed_models_differ():
     assert not np.allclose(np.asarray(imgs), np.asarray(imgs_base))
 
 
+def test_dual_pipeline_int8_quant_close():
+    flux_cfg = FluxConfig.tiny()
+    base = init_flux(jax.random.key(0), flux_cfg)
+    vae_cfg = VAEConfig.tiny(latent_channels=flux_cfg.in_channels // 4)
+    vae = init_vae_decoder(jax.random.key(2), vae_cfg)
+    kw = dict(vae_cfg=vae_cfg, vae_params=vae, height=64, width=64,
+              num_steps=4, mix_sampling_steps=0, text_len=4,
+              dtype=jnp.float32, attn_impl="xla")
+    pipe = DualFluxPipeline(flux_cfg, base, None, **kw)
+    pipe_q = DualFluxPipeline(flux_cfg, base, None, quant="int8", **kw)
+    txt = jax.random.normal(jax.random.key(3), (1, 4, flux_cfg.context_dim))
+    pooled = jax.random.normal(jax.random.key(4), (1, flux_cfg.pooled_dim))
+    a = np.asarray(pipe(txt, pooled, jax.random.key(5)))
+    b = np.asarray(pipe_q(txt, pooled, jax.random.key(5)))
+    assert np.isfinite(b).all()
+    # deterministic ODE sampling from the same noise: quantized trajectory
+    # stays close to the bf16 one
+    assert float(np.abs(a - b).mean()) < 0.05
+
+
 def test_save_outputs_and_eval_flow(tmp_path):
     from mixgrpo_tpu.eval_rewards import evaluate, load_metadata, summarize
     from mixgrpo_tpu.sample import save_outputs
