@@ -5,6 +5,7 @@ from mixgrpo_tpu.models.hunyuan.model import (
     make_video_ids,
 )
 from mixgrpo_tpu.models.hunyuan.scheduler import FlowMatchDiscreteScheduler
+from mixgrpo_tpu.models.hunyuan.sampler import HunyuanVideoSampler
 
 __all__ = [
     "HunyuanVideoConfig",
@@ -12,4 +13,5 @@ __all__ = [
     "hunyuan_video_forward",
     "make_video_ids",
     "FlowMatchDiscreteScheduler",
+    "HunyuanVideoSampler",
 ]

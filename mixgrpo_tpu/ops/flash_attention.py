@@ -57,7 +57,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, o_ref, lse_ref, m_scr, l_scr,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BQ, BK)
-    s = s + kbias_ref[:]  # (1, BK) additive key mask (0 or NEG_INF)
+    s = s + kbias_ref[0]  # (1, BK) additive key mask (0 or NEG_INF)
 
     # mask key-side padding
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -102,7 +102,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kbias_ref,
     k = k_ref[0]  # (BK, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + kbias_ref[:]  # (BQ, BK)
+    ) * scale + kbias_ref[0]  # (BQ, BK)
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     valid = jnp.logical_and(col < kv_len, row < q_len)
@@ -144,7 +144,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kbias_ref,
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + kbias_ref[:]
+    ) * scale + kbias_ref[0]
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     lse = lse_ref[0][:, :1]
     p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
@@ -182,7 +182,9 @@ def _fwd_impl(q, k, v, kbias, scale, block_q, block_k):
     qf = _pad_to(q.reshape(B * H, S, D), Sp, 1)
     kf = _pad_to(k.reshape(B * H, Sk, D), Skp, 1)
     vf = _pad_to(v.reshape(B * H, Sk, D), Skp, 1)
-    kb = _pad_to(kbias, Skp, 1)  # (B, Skp)
+    # (B, 1, Skp): a leading block dim of 1 must equal the array dim, so the
+    # per-batch row bias carries an explicit singleton sublane axis
+    kb = _pad_to(kbias, Skp, 1)[:, None, :]
 
     H_static = H
     grid = (B * H, Sp // bq, Skp // bk)
@@ -194,7 +196,7 @@ def _fwd_impl(q, k, v, kbias, scale, block_q, block_k):
             pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, bk), lambda b, qi, ki: (b // H_static, ki)),
+            pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b // H_static, 0, ki)),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
@@ -242,7 +244,7 @@ def _flash_bwd(scale, block_q, block_k, res, do):
     dof = _pad_to(do.reshape(B * H, S, D), Sp, 1)
     lsef = _pad_to(lse.reshape(B * H, S, _LANES), Sp, 1)
     deltaf = _pad_to(delta.reshape(B * H, S, _LANES), Sp, 1)
-    kb = _pad_to(kbias, Skp, 1)
+    kb = _pad_to(kbias, Skp, 1)[:, None, :]  # (B, 1, Skp) — see _fwd_impl
     H_static = H
 
     dkv_kernel = functools.partial(
@@ -258,7 +260,7 @@ def _flash_bwd(scale, block_q, block_k, res, do):
             pl.BlockSpec((1, bq, D), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, bq, _LANES), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, bq, _LANES), lambda b, ki, qi: (b, qi, 0)),
-            pl.BlockSpec((1, bk), lambda b, ki, qi: (b // H_static, ki)),
+            pl.BlockSpec((1, 1, bk), lambda b, ki, qi: (b // H_static, 0, ki)),
         ],
         out_specs=[
             pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0)),
@@ -286,7 +288,7 @@ def _flash_bwd(scale, block_q, block_k, res, do):
             pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bk), lambda b, qi, ki: (b // H_static, ki)),
+            pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b // H_static, 0, ki)),
         ],
         out_specs=pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Sp, D), q.dtype),

@@ -44,6 +44,7 @@ def make_model_fn(
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     remat: bool = True,
+    virtual_depth=None,
 ):
     """Close FLUX over conditioning -> ``(z, sigma) -> velocity``."""
 
@@ -54,6 +55,7 @@ def make_model_fn(
         return flux_forward(
             params, flux_cfg, z.astype(dtype), txt, pooled, t, g,
             rope_cos, rope_sin, dtype=dtype, attn_impl=attn_impl, remat=remat,
+            virtual_depth=virtual_depth,
         )
 
     return model_fn
@@ -73,9 +75,11 @@ class FluxSampler:
         guidance_scale: float = 3.5,
         dtype=jnp.bfloat16,
         attn_impl: str = "auto",
+        virtual_depth=None,  # benchmark aid: see flux_forward docstring
     ):
         self.flux_cfg = flux_cfg
         self.sampler_cfg = sampler_cfg
+        self.virtual_depth = virtual_depth
         self.height, self.width = height, width
         self.latent_h, self.latent_w = height // 8, width // 8
         self.guidance_scale = guidance_scale
@@ -125,6 +129,7 @@ class FluxSampler:
             params, self.flux_cfg, txt, pooled, self.guidance_scale,
             self.rope_cos, self.rope_sin, dtype=self.dtype,
             attn_impl=self.attn_impl, remat=False,  # no grads in rollout
+            virtual_depth=self.virtual_depth,
         )
         return run_rollout(
             self.sampler_cfg, model_fn, z0,

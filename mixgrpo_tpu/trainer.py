@@ -100,6 +100,7 @@ def make_update_fns(
     attn_impl: str = "auto",
     remat="dots",
     loss_scale: float = 1.0,
+    virtual_depth=None,  # benchmark aid: see flux_forward docstring
 ):
     """Build jitted ``update_step(params, opt_state, batch, sigmas)``."""
 
@@ -112,6 +113,7 @@ def make_update_fns(
             params, flux_cfg, batch.latents.astype(dtype), batch.txt,
             batch.pooled, t, g, rope_cos, rope_sin,
             dtype=dtype, attn_impl=attn_impl, remat=remat,
+            virtual_depth=virtual_depth,
         )
         new_lp = recompute_log_prob(
             sampler_cfg, pred, batch.latents.astype(jnp.float32),

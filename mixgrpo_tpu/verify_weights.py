@@ -251,6 +251,41 @@ def check_hunyuan_vae(path: str, cfg=None, dtype=None):
     return out
 
 
+def check_mochi(path: str, cfg=None, dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    from mixgrpo_tpu.models.mochi.load import load_mochi_checkpoint
+    from mixgrpo_tpu.models.mochi.model import MochiConfig, mochi_forward
+
+    cfg = cfg or MochiConfig.mochi_preview()
+    params = load_mochi_checkpoint(path, cfg)
+    k = jax.random.key(15)
+    z = jax.random.normal(k, (1, 2, 8, 8, cfg.in_channels))
+    txt = jax.random.normal(k, (1, 6, cfg.text_embed_dim))
+    mask = jnp.ones((1, 6), jnp.int32)
+    t = jnp.full((1,), 0.5)
+    out = mochi_forward(params, cfg, z, txt, t, mask,
+                        dtype=dtype or jnp.float32, remat=False)
+    return {"mochi_out": out}
+
+
+def check_mochi_vae(path: str, cfg=None, dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    from mixgrpo_tpu.models.mochi.vae import (
+        MochiVAEConfig, load_mochi_vae_decoder, mochi_vae_decode,
+    )
+
+    cfg = cfg or MochiVAEConfig.mochi_preview()
+    params = load_mochi_vae_decoder(path, cfg)
+    lat = jax.random.normal(jax.random.key(16), (1, 2, 8, 8,
+                                                 cfg.latent_channels))
+    return {"mochi_vae_dec": mochi_vae_decode(params, cfg, lat,
+                                              dtype=dtype or jnp.float32)}
+
+
 CHECKS: Dict[str, Callable] = {
     "flux": check_flux,
     "flux_vae": check_flux_vae,
@@ -262,6 +297,8 @@ CHECKS: Dict[str, Callable] = {
     "image_reward": check_image_reward,
     "hunyuan_llm": check_hunyuan_llm,
     "hunyuan_vae": check_hunyuan_vae,
+    "mochi": check_mochi,
+    "mochi_vae": check_mochi_vae,
 }
 
 
@@ -321,6 +358,8 @@ def main(argv=None):
     ap.add_argument("--image-reward-med-config")
     ap.add_argument("--hunyuan-llm")
     ap.add_argument("--hunyuan-vae")
+    ap.add_argument("--mochi")
+    ap.add_argument("--mochi-vae")
     args = ap.parse_args(argv)
 
     specs: Dict[str, Dict[str, Any]] = {}
@@ -334,7 +373,8 @@ def main(argv=None):
         ("flux_vae", "flux_vae"), ("t5", "t5"), ("clip_l", "clip_l"),
         ("hps", "hps"), ("pick_score", "pick_score"),
         ("clip_score", "clip_score"), ("hunyuan_llm", "hunyuan_llm"),
-        ("hunyuan_vae", "hunyuan_vae"),
+        ("hunyuan_vae", "hunyuan_vae"), ("mochi", "mochi"),
+        ("mochi_vae", "mochi_vae"),
     ]:
         v = getattr(args, flag)
         if v:

@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, ".")
 
 
-def build(tmp, lr, steps, strategy="part", seed=714):
+def build(tmp, lr, steps, strategy="part", seed=714, rollout_quant="none"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -47,7 +47,7 @@ def build(tmp, lr, steps, strategy="part", seed=714):
                         training_strategy=strategy,
                         advantage_rerange_strategy="balance", clip_range=0.2,
                         timestep_fraction=0.6, eta=0.7, seed=seed,
-                        sampler_seed=seed * 10),
+                        sampler_seed=seed * 10, rollout_quant=rollout_quant),
         window=WindowConfig(iters_per_group=10, group_size=3, roll_back=True),
         run=RunConfig(output_dir=f"{tmp}/out_{strategy}_{lr}",
                       checkpointing_steps=10_000),
@@ -101,15 +101,18 @@ def main():
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--tmp", default="/tmp/validate_learning")
+    ap.add_argument("--rollout_quant", default="none", choices=["none", "int8"])
     args = ap.parse_args()
 
     import numpy as np
 
     # trained run
-    tr, loader, cfg = build(args.tmp, args.lr, args.steps)
+    tr, loader, cfg = build(args.tmp, args.lr, args.steps,
+                            rollout_quant=args.rollout_quant)
     rewards, _ = run(tr, loader, cfg, args.steps)
     # control: identical seeds, zero learning rate
-    tc, loader_c, cfg_c = build(args.tmp, 0.0, args.steps)
+    tc, loader_c, cfg_c = build(args.tmp, 0.0, args.steps,
+                                rollout_quant=args.rollout_quant)
     control, _ = run(tc, loader_c, cfg_c, args.steps)
 
     k = max(args.steps // 5, 1)

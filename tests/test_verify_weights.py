@@ -49,10 +49,22 @@ def specs(tmp_path):
 
     from mixgrpo_tpu.models.text.llama import LlamaConfig
 
+    import jax
+
+    from mixgrpo_tpu.models.mochi.convert import save_mochi_diffusers
+    from mixgrpo_tpu.models.mochi.model import MochiConfig, init_mochi
+
+    mochi_cfg = MochiConfig.tiny()
+    mochi_dir = tmp_path / "mochi"
+    save_mochi_diffusers(
+        init_mochi(jax.random.key(0), mochi_cfg), mochi_cfg, str(mochi_dir)
+    )
+
     return {
         "flux": {"path": flux_path, "cfg": flux_cfg},
         "flux_vae": {"path": vae_path, "cfg": vae_cfg},
         "hunyuan_llm": {"path": llama_path, "cfg": LlamaConfig.tiny()},
+        "mochi": {"path": str(mochi_dir), "cfg": mochi_cfg},
     }
 
 
