@@ -13,13 +13,19 @@ any backend is initialized.
 
 import os
 
+# MIXGRPO_TPU_TESTS=1 leaves the real accelerator attached so the
+# hardware tier (tests/test_tpu_hardware.py, ``-m tpu``) can compile on
+# the actual chip; everything else runs on the virtual CPU mesh.
+_USE_HW = os.environ.get("MIXGRPO_TPU_TESTS") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _USE_HW and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_HW:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -44,3 +44,38 @@ def test_mochi_latent_roundtrip():
     np.testing.assert_allclose(np.asarray(back), np.asarray(lat), rtol=1e-5)
     # standardization direction: channel 7 has the largest std
     assert float(jnp.abs(n[..., 7]).mean()) < float(jnp.abs(lat[..., 7]).mean()) + 1
+
+
+def test_pad_to_multiple():
+    from mixgrpo_tpu.data.video import pad_to_multiple
+
+    assert pad_to_multiple(16, 16) == 16
+    assert pad_to_multiple(17, 16) == 32
+    assert pad_to_multiple(1, 4) == 4
+
+
+def test_video_collate_padding_and_mask():
+    from mixgrpo_tpu.data.video import VideoCollate
+
+    col = VideoCollate(ae_stride=8, ae_stride_t=4, patch_size=2, patch_size_t=1)
+    batch = [
+        {"pixel_values": np.ones((5, 32, 48, 3), np.float32), "text": "a",
+         "input_ids": np.arange(4), "cond_mask": np.ones(4)},
+        {"pixel_values": np.ones((9, 30, 30, 3), np.float32), "text": "b",
+         "input_ids": np.arange(4), "cond_mask": np.ones(4)},
+    ]
+    out = col(batch)
+    # T: max 9 -> pad (9-1+4) to mult of 4 = 12 -> 12+1-4 = 9; H/W to 16s
+    assert out["pixel_values"].shape == (2, 9, 32, 48, 3)
+    # latent grid: lt=(9-1)/4+1=3, lh=4, lw=6
+    assert out["attention_mask"].shape == (2, 3, 4, 6)
+    # clip 0: 5 frames -> vt=ceil(4/4)+1=2, vh=4, vw=6 (full)
+    m0 = out["attention_mask"][0]
+    assert m0[:2].all() and not m0[2:].any()
+    # clip 1: 9 frames -> vt=3; 30px -> vh=vw=ceil(30/8)=4
+    m1 = out["attention_mask"][1]
+    assert m1[:, :4, :4].all() and not m1[:, :, 4:].any()
+    # padded pixels are zero outside each clip's extent
+    assert out["pixel_values"][0, 5:].sum() == 0
+    assert out["pixel_values"][1, :, 30:, :].sum() == 0
+    assert out["input_ids"].shape == (2, 4)
