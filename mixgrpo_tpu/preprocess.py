@@ -103,6 +103,44 @@ def run_preprocess(
     return w.finish()
 
 
+def build_prompt_encoder_from_dir(
+    model_path: str, max_len: int = 512, clip_bpe_path: str = None,
+) -> "PromptEncoder":
+    """PromptEncoder from a local FLUX HF-layout dir (text_encoder/,
+    text_encoder_2/, tokenizer/, tokenizer_2/).  Shared by the preprocess
+    CLI and the inference server (serve.py)."""
+    import os
+
+    from transformers import AutoTokenizer
+
+    from mixgrpo_tpu.models.flux.load import load_safetensors_dir
+    from mixgrpo_tpu.models.text.clip import CLIPConfig
+    from mixgrpo_tpu.models.text.clip_load import load_clip_hf_text_only
+    from mixgrpo_tpu.models.text.t5 import T5Config, load_t5_hf
+    from mixgrpo_tpu.rewards.tokenizer import CLIPTokenizer
+
+    t5_cfg = T5Config.xxl()
+    t5_params = load_t5_hf(
+        load_safetensors_dir(os.path.join(model_path, "text_encoder_2")),
+        t5_cfg,
+    )
+    t5_tok = AutoTokenizer.from_pretrained(
+        os.path.join(model_path, "tokenizer_2")
+    )
+    clip_cfg = CLIPConfig.vit_l_14()
+    clip_params = load_clip_hf_text_only(
+        load_safetensors_dir(os.path.join(model_path, "text_encoder")),
+        clip_cfg,
+    )
+    clip_tok = CLIPTokenizer(
+        clip_bpe_path or os.environ.get("CLIP_BPE_PATH")
+    )
+    return PromptEncoder(
+        t5_params, t5_cfg, t5_tok, clip_params, clip_cfg, clip_tok,
+        max_len=max_len,
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--prompt_dir", type=str, required=True,
@@ -117,32 +155,9 @@ def main():
                    default=os.environ.get("CLIP_BPE_PATH"))
     args = p.parse_args()
 
-    from transformers import AutoTokenizer
-
-    from mixgrpo_tpu.models.flux.load import load_safetensors_dir
-    from mixgrpo_tpu.models.text.clip import CLIPConfig
-    from mixgrpo_tpu.models.text.clip_load import load_clip_hf_text_only
-    from mixgrpo_tpu.models.text.t5 import T5Config, load_t5_hf
-    from mixgrpo_tpu.rewards.tokenizer import CLIPTokenizer
-
-    t5_cfg = T5Config.xxl()
-    t5_params = load_t5_hf(
-        load_safetensors_dir(os.path.join(args.model_path, "text_encoder_2")),
-        t5_cfg,
-    )
-    t5_tok = AutoTokenizer.from_pretrained(
-        os.path.join(args.model_path, "tokenizer_2")
-    )
-    clip_cfg = CLIPConfig.vit_l_14()
-    clip_params = load_clip_hf_text_only(
-        load_safetensors_dir(os.path.join(args.model_path, "text_encoder")),
-        clip_cfg,
-    )
-    clip_tok = CLIPTokenizer(args.clip_bpe_path)
-
-    enc = PromptEncoder(
-        t5_params, t5_cfg, t5_tok, clip_params, clip_cfg, clip_tok,
-        max_len=args.max_len,
+    enc = build_prompt_encoder_from_dir(
+        args.model_path, max_len=args.max_len,
+        clip_bpe_path=args.clip_bpe_path,
     )
     prompts = read_prompts(args.prompt_dir)
     run_preprocess(

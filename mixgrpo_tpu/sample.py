@@ -118,11 +118,16 @@ class DualFluxPipeline:
                          denormalize_latents(lat), dtype=self.dtype)
         return postprocess_images(img)
 
-    def __call__(self, txt, pooled, rng) -> jnp.ndarray:
-        """txt: (B, L, 4096), pooled: (B, 768) -> images [0,1] or latents."""
+    def __call__(self, txt, pooled, rng, z0=None) -> jnp.ndarray:
+        """txt: (B, L, 4096), pooled: (B, 768) -> images [0,1] or latents.
+
+        ``z0`` overrides the initial packed latent noise (B, S_img, C) —
+        used by the serving layer to honor per-request seeds inside a
+        co-batched call (serve.py).
+        """
         B = txt.shape[0]
         sampler = self._seg1 or self._seg2
-        z = sampler.init_noise(rng, B)
+        z = sampler.init_noise(rng, B) if z0 is None else z0
         k = self.mix_k
         if self._seg1 is not None:
             det = jnp.ones(k, bool)

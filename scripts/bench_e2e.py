@@ -24,7 +24,10 @@ import time
 
 sys.path.insert(0, ".")
 
-GROUP = 4            # generations measured per rollout program
+GROUP = 2            # generations measured per rollout program (kept small:
+                     # the 25-step x 57-block rollout is the largest program
+                     # the remote compile service handles; B scales linearly
+                     # past B=1 anyway — PERF.md batched-forward row)
 RECIPE_GROUP = 12    # the recipe's num_generations
 STEPS = 25
 WINDOW = (10, 14)
@@ -133,13 +136,16 @@ def main():
         cfg, scfg, PPOConfig(clip_range=1e-4, adv_clip_max=5.0), opt,
         sampler.rope_cos, sampler.rope_sin, remat="dots", virtual_depth=VD,
     )
+    # PAIRS (sample, timestep) rows drawn from the GROUP rollouts
+    s_idx = np.arange(PAIRS) % GROUP
+    t_idx = WINDOW[0] + (np.arange(PAIRS) // GROUP) % (WINDOW[1] - WINDOW[0])
     batch = UpdateBatch(
-        latents=out.all_latents[:PAIRS, 10],
-        next_latents=out.all_latents[:PAIRS, 11],
-        t_index=jnp.full((PAIRS,), 10, jnp.int32),
-        old_log_probs=out.all_log_probs[:PAIRS, 10],
+        latents=out.all_latents[s_idx, t_idx],
+        next_latents=out.all_latents[s_idx, t_idx + 1],
+        t_index=jnp.asarray(t_idx, jnp.int32),
+        old_log_probs=out.all_log_probs[s_idx, t_idx],
         advantages=jnp.ones((PAIRS,), jnp.float32),
-        txt=txt[:PAIRS], pooled=pooled[:PAIRS],
+        txt=txt[s_idx], pooled=pooled[s_idx],
     )
     sig_dev = jnp.asarray(sigmas, jnp.float32)
     p2, o2, m = update_step(params, opt_state, batch, sig_dev)
