@@ -157,6 +157,17 @@ class RewardConfig:
 
 
 @dataclasses.dataclass
+class RuntimeConfig:
+    """TPU-side runtime knobs with no reference counterpart (the reference
+    hardcodes flash-attn CUDA and wires LoRA through peft + env)."""
+
+    attn_impl: str = "auto"  # auto|pallas|xla|ulysses
+    use_lora: bool = False
+    lora_rank: int = 16
+    lora_alpha: float = 16.0
+
+
+@dataclasses.dataclass
 class RunConfig:
     output_dir: str = "./out"
     experiment_name: str = "test"
@@ -179,6 +190,7 @@ class TrainConfig:
     dpm: DPMConfig = dataclasses.field(default_factory=DPMConfig)
     reward: RewardConfig = dataclasses.field(default_factory=RewardConfig)
     run: RunConfig = dataclasses.field(default_factory=RunConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 
     def sampler_config(self) -> SamplerConfig:
@@ -207,10 +219,13 @@ class TrainConfig:
     def from_dict(cls, d: dict) -> "TrainConfig":
         kw = {}
         for f in dataclasses.fields(cls):
+            # PEP 563: f.type is the annotation *string*; recover the class
+            # from the field's default factory.
+            typ = f.default_factory
             sub = d.get(f.name, {})
-            if isinstance(sub, dict):
-                names = {x.name for x in dataclasses.fields(f.type)}
-                kw[f.name] = f.type(**{k: v for k, v in sub.items() if k in names})
+            if isinstance(sub, dict) and dataclasses.is_dataclass(typ):
+                names = {x.name for x in dataclasses.fields(typ)}
+                kw[f.name] = typ(**{k: v for k, v in sub.items() if k in names})
         return cls(**kw)
 
 
@@ -220,7 +235,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     groups = {
         "data": DataConfig, "paths": ModelPathsConfig, "optim": OptimConfig,
         "grpo": GRPOConfig, "window": WindowConfig, "dpm": DPMConfig,
-        "reward": RewardConfig, "run": RunConfig,
+        "reward": RewardConfig, "run": RunConfig, "runtime": RuntimeConfig,
     }
     for _, cls in groups.items():
         for f in dataclasses.fields(cls):
@@ -257,6 +272,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         data=pick(DataConfig), paths=pick(ModelPathsConfig), optim=pick(OptimConfig),
         grpo=pick(GRPOConfig), window=pick(WindowConfig), dpm=pick(DPMConfig),
         reward=pick(RewardConfig), run=pick(RunConfig),
+        runtime=pick(RuntimeConfig),
         mesh=MeshConfig(
             dp=d.get("mesh_dp", -1), fsdp=d.get("mesh_fsdp", 1),
             sp=d.get("mesh_sp", 1), tp=d.get("mesh_tp", 1),

@@ -601,6 +601,10 @@ def main():
         cfg, flux_cfg=flux_cfg, params=params,
         vae_cfg=vae_cfg, vae_params=vae_params,
         reward_models=build_reward_models(cfg),
+        attn_impl=cfg.runtime.attn_impl,
+        use_lora=cfg.runtime.use_lora,
+        lora_rank=cfg.runtime.lora_rank,
+        lora_alpha=cfg.runtime.lora_alpha,
     )
     ds = LatentDataset(cfg.data.data_json_path, cfg_rate=cfg.data.cfg_rate,
                        seed=cfg.grpo.seed)

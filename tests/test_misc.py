@@ -114,3 +114,30 @@ def test_cli_flag_surface():
     assert cfg.mesh.dp == 4 and cfg.mesh.fsdp == 2
     sc = cfg.sampler_config()
     assert sc.dpm_solver_order == 2 and sc.eta == 0.7
+
+
+def test_cli_runtime_flags_and_config_round_trip():
+    """TPU runtime knobs (attn impl, LoRA) reach the config from the CLI,
+    and TrainConfig survives a JSON round-trip (args.json replay)."""
+    import json
+
+    from mixgrpo_tpu.config import (
+        TrainConfig, build_arg_parser, config_from_args,
+    )
+
+    args = build_arg_parser().parse_args([
+        "--attn_impl", "pallas", "--use_lora", "--lora_rank", "8",
+        "--lora_alpha", "32", "--rollout_quant", "int8", "--no-use_group",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.runtime.attn_impl == "pallas"
+    assert cfg.runtime.use_lora and cfg.runtime.lora_rank == 8
+    assert cfg.runtime.lora_alpha == 32.0
+    assert cfg.grpo.rollout_quant == "int8"
+    assert cfg.grpo.use_group is False
+
+    cfg2 = TrainConfig.from_dict(json.loads(cfg.to_json()))
+    assert cfg2.runtime == cfg.runtime
+    assert cfg2.grpo == cfg.grpo
+    assert cfg2.mesh == cfg.mesh
+    assert cfg2.window == cfg.window
