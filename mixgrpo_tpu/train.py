@@ -488,7 +488,7 @@ class GRPOTrainer:
                 self.global_step > 0
                 and self.global_step % cfg.run.checkpointing_steps == 0
             ):
-                self.save_checkpoint()
+                self.save_checkpoint(blocking=False)
             # reference ordering (train_grpo_flux.py:833-835): capture the
             # window BEFORE advancing it, so the first group gets the full
             # iters_per_group iterations.  update_iteration is seeded so the
@@ -515,15 +515,17 @@ class GRPOTrainer:
             )
             self.global_step += 1
         self.save_checkpoint()
+        self.ckpt.close()  # joins any in-flight async periodic save
         self.metrics.close()
 
-    def save_checkpoint(self):
+    def save_checkpoint(self, blocking: bool = True):
         train_state = self.lora_factors if self.use_lora else self.params
         self.ckpt.save(
             self.global_step, train_state, self.opt_state,
             window_state=self.window.to_dict(),
             extra={"use_lora": self.use_lora},
             ema_params=self.ema_params,
+            blocking=blocking,
         )
         if jax.process_index() == 0:
             path = os.path.join(

@@ -45,7 +45,14 @@ class CheckpointManager:
         window_state: Optional[dict] = None,
         extra: Optional[dict] = None,
         ema_params: Any = None,
+        blocking: bool = True,
     ) -> None:
+        """``blocking=False`` returns as soon as device arrays are staged to
+        host; the disk write proceeds in Orbax's background thread so the
+        training step after a periodic checkpoint is not stalled (the
+        reference blocks every rank on a full FSDP state-dict gather,
+        checkpoint.py:65-88).  Orbax serializes overlapping saves; call
+        :meth:`close` (or a blocking save) to guarantee durability."""
         import orbax.checkpoint as ocp
 
         items = {"params": ocp.args.StandardSave(params)}
@@ -56,7 +63,8 @@ class CheckpointManager:
         meta = {"window_state": window_state, "extra": extra or {}, "step": step}
         items["meta"] = ocp.args.JsonSave(meta)
         self._mgr.save(step, args=ocp.args.Composite(**items))
-        self._mgr.wait_until_finished()
+        if blocking:
+            self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -37,6 +37,29 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_async_save_restores_after_close(tmp_path):
+    """Non-blocking periodic saves land durably once the manager is closed
+    (or a blocking save follows), and the latest step wins."""
+    cfg = FluxConfig.tiny()
+    params = init_flux(jax.random.key(1), cfg)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, params, blocking=False)
+    bumped = jax.tree.map(lambda x: x + 1.0, params)
+    mgr.save(2, bumped, blocking=False)
+    mgr.close()  # joins the background writes
+
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr2.latest_step() == 2
+    p2, _, _, step = mgr2.restore(
+        params_template=jax.tree.map(jnp.zeros_like, params)
+    )
+    assert step == 2
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(bumped)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    mgr2.close()
+
+
 def test_safetensors_export_reload(tmp_path):
     cfg = FluxConfig.tiny()
     params = init_flux(jax.random.key(1), cfg)
