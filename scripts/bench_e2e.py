@@ -14,7 +14,12 @@ window size 4, exactly the reference per-rank workload shape
 
 Composes the measured phases into seconds/iteration for the recipe's
 num_generations=12, 48-pair update, grad-accum 3, and prints one JSON
-line.  Run: ``timeout 590 python scripts/bench_e2e.py [--quant int8]``.
+line.  Run: ``python scripts/bench_e2e.py [--quant int8]``.
+
+Phases run independently (``--phases rollout,vae,reward,update``) and a
+phase whose remote compile fails is reported as null rather than killing
+the run — the tunnel's compile service intermittently drops very large
+programs, and the persistent compile cache makes re-runs incremental.
 """
 
 import argparse
@@ -28,6 +33,8 @@ GROUP = 2            # generations measured per rollout program (kept small:
                      # the 25-step x 57-block rollout is the largest program
                      # the remote compile service handles; B scales linearly
                      # past B=1 anyway — PERF.md batched-forward row)
+REWARD_B = 4         # ViT-H scoring batch (B=4 is the shape the compile
+                     # service has handled; B=2 reproducibly breaks it)
 RECIPE_GROUP = 12    # the recipe's num_generations
 STEPS = 25
 WINDOW = (10, 14)
@@ -40,7 +47,24 @@ RECIPE_PAIRS = 48    # 12 samples x window 4
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--phases", default="rollout,vae,reward,update",
+                    help="comma list: rollout,vae,reward,update")
+    ap.add_argument("--update_vd", default="19,38",
+                    help="virtual depth (double,single) for the update "
+                         "phase; the full-depth fwd+bwd program exceeds "
+                         "the remote compile helper, so measure at a "
+                         "reduced depth and compose per-block (the same "
+                         "weight-cycling methodology the forward bench "
+                         "validates against full-depth measurement)")
     args = ap.parse_args()
+    # "none": run the update at the model's REAL (2,4) depth with no
+    # weight-cycling — the cycling gather inside the rematerialized
+    # backward is what overwhelms the compile helper — and compose.
+    upd_vd = (
+        None if args.update_vd == "none"
+        else tuple(int(x) for x in args.update_vd.split(","))
+    )
+    phases = set(args.phases.split(","))
 
     import bench  # repo-root bench.py: compile cache + timing conventions
 
@@ -81,96 +105,165 @@ def main():
     det = np.ones(STEPS, bool)
     det[WINDOW[0]:WINDOW[1]] = False
 
-    def run_rollout():
-        out = sampler.rollout(rollout_params, z0, txt, pooled, sigmas, det,
-                              STEPS, jax.random.key(2))
-        return out
+    timings = {}
+    failures = {}
+    out = None
 
-    out = run_rollout()  # compile + warm
-    float(out.final_latents.sum())
-    t0 = time.time()
-    out = run_rollout()
-    float(out.final_latents.sum())
-    t_rollout = time.time() - t0
+    def phase(name, fn):
+        if name not in phases:
+            return None
+        t_label = time.strftime("%H:%M:%S")
+        print(f"[{t_label}] phase {name}...", file=sys.stderr, flush=True)
+        try:
+            dt = fn()
+            timings[name] = dt
+            return dt
+        except Exception as e:  # remote-compile service drop, OOM, ...
+            failures[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"[{name}] FAILED: {failures[name]}",
+                  file=sys.stderr, flush=True)
+            return None
+
+    # ---- rollout (warm + timed)
+    def run_rollout():
+        nonlocal out
+        o = sampler.rollout(rollout_params, z0, txt, pooled, sigmas, det,
+                            STEPS, jax.random.key(2))
+        float(o.final_latents.sum())
+        out = o
+        t0 = time.time()
+        o = sampler.rollout(rollout_params, z0, txt, pooled, sigmas, det,
+                            STEPS, jax.random.key(2))
+        float(o.final_latents.sum())
+        out = o
+        return time.time() - t0
+
+    phase("rollout", run_rollout)
+    if out is None:  # rollout skipped/failed: synthesize shapes for later phases
+        S_img = sampler.num_image_tokens
+        lat = jax.random.normal(key, (GROUP, S_img, 64), jnp.float32)
+
+        class _O:
+            final_latents = lat
+            all_latents = jnp.broadcast_to(
+                lat[:, None], (GROUP, STEPS + 1, S_img, 64))
+            all_log_probs = jnp.zeros((GROUP, STEPS), jnp.float32)
+
+        out = _O()
 
     # ---- VAE decode at full size
-    vae_cfg = VAEConfig.flux_dev()
-    vae_params = jax.jit(lambda k: jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16), init_vae_decoder(k, vae_cfg))
-    )(jax.random.key(3))
+    def run_vae():
+        vae_cfg = VAEConfig.flux_dev()
+        vae_params = jax.jit(lambda k: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16), init_vae_decoder(k, vae_cfg))
+        )(jax.random.key(3))
 
-    @jax.jit
-    def decode(latents_packed):
-        lat = unpack_latents(latents_packed, HEIGHT, HEIGHT)
-        return vae_decode(vae_params, vae_cfg, denormalize_latents(lat),
-                          dtype=jnp.bfloat16)
+        @jax.jit
+        def decode(latents_packed):
+            lat = unpack_latents(latents_packed, HEIGHT, HEIGHT)
+            return vae_decode(vae_params, vae_cfg, denormalize_latents(lat),
+                              dtype=jnp.bfloat16)
 
-    img = decode(out.final_latents)
-    float(img.sum())
-    t0 = time.time()
-    img = decode(out.final_latents)
-    float(img.sum())
-    t_vae = time.time() - t0
+        img = decode(out.final_latents)
+        float(img.sum())
+        t0 = time.time()
+        img = decode(out.final_latents)
+        float(img.sum())
+        return time.time() - t0
+
+    phase("vae", run_vae)
 
     # ---- reward scoring compute (ViT-H/14 image tower at 224px)
-    ccfg = CLIPConfig.vit_h_14()
-    cparams = jax.jit(lambda k: jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16), init_clip(k, ccfg)))(jax.random.key(4))
+    def run_reward():
+        ccfg = CLIPConfig.vit_h_14()
+        cparams = jax.jit(lambda k: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16), init_clip(k, ccfg)))(jax.random.key(4))
+        images = jax.random.uniform(
+            jax.random.key(6), (REWARD_B, HEIGHT, HEIGHT, 3), jnp.float32)
 
-    @jax.jit
-    def score(images):
-        x = jax.image.resize(images, (GROUP, 224, 224, 3), "bilinear")
-        return clip_image_features(cparams, ccfg, x, dtype=jnp.bfloat16)
+        @jax.jit
+        def score(images):
+            x = jax.image.resize(images, (REWARD_B, 224, 224, 3), "bilinear")
+            return clip_image_features(cparams, ccfg, x, dtype=jnp.bfloat16)
 
-    f = score(img)
-    float(f.sum())
-    t0 = time.time()
-    f = score(img)
-    float(f.sum())
-    t_reward = time.time() - t0
+        f = score(images)
+        float(f.sum())
+        t0 = time.time()
+        f = score(images)
+        float(f.sum())
+        return time.time() - t0
+
+    phase("reward", run_reward)
 
     # ---- PPO update: one fused PAIRS-row fwd+bwd + apply
-    opt = make_optimizer(learning_rate=1e-5)
-    opt_state = opt.init(params)
-    update_step, _, _ = make_update_fns(
-        cfg, scfg, PPOConfig(clip_range=1e-4, adv_clip_max=5.0), opt,
-        sampler.rope_cos, sampler.rope_sin, remat="dots", virtual_depth=VD,
-    )
-    # PAIRS (sample, timestep) rows drawn from the GROUP rollouts
-    s_idx = np.arange(PAIRS) % GROUP
-    t_idx = WINDOW[0] + (np.arange(PAIRS) // GROUP) % (WINDOW[1] - WINDOW[0])
-    batch = UpdateBatch(
-        latents=out.all_latents[s_idx, t_idx],
-        next_latents=out.all_latents[s_idx, t_idx + 1],
-        t_index=jnp.asarray(t_idx, jnp.int32),
-        old_log_probs=out.all_log_probs[s_idx, t_idx],
-        advantages=jnp.ones((PAIRS,), jnp.float32),
-        txt=txt[s_idx], pooled=pooled[s_idx],
-    )
-    sig_dev = jnp.asarray(sigmas, jnp.float32)
-    p2, o2, m = update_step(params, opt_state, batch, sig_dev)
-    float(m["loss"])
-    t0 = time.time()
-    p2, o2, m = update_step(p2, o2, batch, sig_dev)
-    float(m["loss"])
-    t_update = time.time() - t0
+    def run_update():
+        opt = make_optimizer(learning_rate=1e-5)
+        opt_state = opt.init(params)
+        update_step, _, _ = make_update_fns(
+            cfg, scfg, PPOConfig(clip_range=1e-4, adv_clip_max=5.0), opt,
+            sampler.rope_cos, sampler.rope_sin, remat="dots",
+            virtual_depth=upd_vd,
+        )
+        # PAIRS (sample, timestep) rows drawn from the GROUP rollouts
+        s_idx = np.arange(PAIRS) % GROUP
+        t_idx = WINDOW[0] + (np.arange(PAIRS) // GROUP) % (WINDOW[1] - WINDOW[0])
+        batch = UpdateBatch(
+            latents=out.all_latents[s_idx, t_idx],
+            next_latents=out.all_latents[s_idx, t_idx + 1],
+            t_index=jnp.asarray(t_idx, jnp.int32),
+            old_log_probs=out.all_log_probs[s_idx, t_idx],
+            advantages=jnp.ones((PAIRS,), jnp.float32),
+            txt=txt[s_idx], pooled=pooled[s_idx],
+        )
+        sig_dev = jnp.asarray(sigmas, jnp.float32)
+        p2, o2, m = update_step(params, opt_state, batch, sig_dev)
+        float(m["loss"])
+        t0 = time.time()
+        p2, o2, m = update_step(p2, o2, batch, sig_dev)
+        float(m["loss"])
+        return time.time() - t0
 
-    recipe_s = (
-        t_rollout * (RECIPE_GROUP / GROUP)
-        + t_vae * (RECIPE_GROUP / GROUP)
-        + t_reward * (RECIPE_GROUP / GROUP)
-        + t_update * (RECIPE_PAIRS / PAIRS)
+    phase("update", run_update)
+
+    t_rollout = timings.get("rollout")
+    t_vae = timings.get("vae")
+    t_reward = timings.get("reward")
+    t_update = timings.get("update")
+    # Per-block-application cost is uniform across block types (per-token
+    # matmul params 113.25M double vs 113.3M single — bench.py flops
+    # model), so full-depth update = measured x 57/(dd+ds).  The same
+    # scaling applied to the forward *underestimates* the measured
+    # full-depth MFU (75% measured vs 70% at the slice), so this compose
+    # is conservative.
+    upd_blocks = (
+        cfg.depth_double + cfg.depth_single if upd_vd is None
+        else upd_vd[0] + upd_vd[1]
     )
+    t_update_full = (
+        None if t_update is None else t_update * (19 + 38) / upd_blocks
+    )
+    recipe_s = None
+    if None not in (t_rollout, t_vae, t_reward, t_update_full):
+        recipe_s = (
+            t_rollout * (RECIPE_GROUP / GROUP)
+            + t_vae * (RECIPE_GROUP / GROUP)
+            + t_reward * (RECIPE_GROUP / REWARD_B)
+            + t_update_full * (RECIPE_PAIRS / PAIRS)
+        )
+    rnd = lambda v, p: None if v is None else round(v, p)
     print(json.dumps({
         "metric": "grpo_iteration_seconds_per_chip_512px_fluxdev_fulldepth",
         "quant": args.quant,
-        "rollout_s_group4": round(t_rollout, 2),
-        "vae_decode_s_x4": round(t_vae, 3),
-        "reward_vith_s_x4": round(t_reward, 3),
-        "update_s_4pairs": round(t_update, 2),
-        "recipe_iteration_s": round(recipe_s, 1),
+        f"rollout_s_group{GROUP}": rnd(t_rollout, 2),
+        f"vae_decode_s_x{GROUP}": rnd(t_vae, 3),
+        f"reward_vith_s_x{REWARD_B}": rnd(t_reward, 3),
+        f"update_s_{PAIRS}pairs": rnd(t_update, 2),
+        "update_vd": list(upd_vd) if upd_vd else "real-depth-(2,4)",
+        f"update_s_{PAIRS}pairs_fulldepth_composed": rnd(t_update_full, 2),
+        "recipe_iteration_s": rnd(recipe_s, 1),
+        "failed_phases": failures or None,
         "recipe": "G=12, 25 steps, window 4, 48-pair update — composed from"
-                  " measured phases (rollout/VAE/reward x3, update x12)",
+                  " measured phases (rollout/VAE x6, reward x3, update x12)",
     }))
 
 
