@@ -1,18 +1,20 @@
-"""Jitted mixed ODE-SDE rollout as a single ``lax.scan``.
+"""Jitted mixed ODE-SDE rollout as a single bounded ``lax.while_loop``.
 
 TPU-native re-design of the reference rollout driver
 (zqqqqz2000/MixGRPO fastvideo/utils/sampling_utils.py:12-155
 ``run_sample_step``): the reference drives a Python for-loop of T transformer
 calls with per-step Python branching on the ODE/SDE mode; here the whole
-trajectory is one ``lax.scan`` compiled once, with the per-step mode mask,
-the sigma schedule, the valid-step count, and the SDE-window boundary all
-passed as *data*.  When the MixGRPO sliding window moves or the Flash tail
-is recompressed, nothing recompiles.
+trajectory is one compiled loop, with the per-step mode mask, the sigma
+schedule, the valid-step count, and the SDE-window boundary all passed as
+*data*.  When the MixGRPO sliding window moves or the Flash tail is
+recompressed, nothing recompiles.
 
 Flash schedule compression makes the trajectory length dynamic in the
 reference (sampling_utils.py:29-59); here schedules are padded to
-``cfg.num_steps_max`` and steps with ``i >= num_steps`` are no-ops
-(latents pass through, log_prob = 0).
+``cfg.num_steps_max`` but the loop trip count is the *traced*
+``num_steps``, so a compressed 13-step trajectory costs 13 model calls
+(buffer rows with ``i >= num_steps`` keep the pass-through contract:
+latents frozen at z_T, log_prob = 0).
 """
 
 from __future__ import annotations
@@ -181,8 +183,21 @@ def run_rollout(
         max(cfg.dpm_solver_order, 1), z0.shape, jnp.float32
     )
 
-    def body(carry, i):
-        z, st, x0_final = carry
+    # A while_loop with a *traced* trip count instead of a fixed-length
+    # scan: a Flash-compressed schedule (num_steps=13 of T_max=25) then
+    # runs 13 model forwards, not 25 — the reference's dynamic-length
+    # trajectory savings (sampling_utils.py:29-59) are realized without
+    # recompiling when num_steps changes (it stays data).  Rollouts take
+    # no gradients, so while_loop's non-differentiability is free.
+    z0f = z0.astype(jnp.float32)
+    zs0 = jnp.zeros((T,) + z0.shape, jnp.float32)
+    lp0 = jnp.zeros((T, z0.shape[0]), jnp.float32)
+
+    def cond(carry):
+        return carry[-1] < num_steps
+
+    def body(carry):
+        z, st, x0_final, zs, lps, i = carry
         noise = jax.random.normal(jax.random.fold_in(rng, i), z.shape, jnp.float32)
         z_next, log_prob, x0, st = rollout_step(
             cfg, model_fn, z, st,
@@ -191,17 +206,21 @@ def run_rollout(
             noise=noise,
         )
         x0_final = jnp.where(i == num_steps - 1, x0, x0_final)
-        return (z_next, st, x0_final), (z_next, log_prob)
+        zs = jax.lax.dynamic_update_index_in_dim(zs, z_next, i, 0)
+        lps = jax.lax.dynamic_update_index_in_dim(lps, log_prob, i, 0)
+        return (z_next, st, x0_final, zs, lps, i + 1)
 
-    (z_T, _, x0_final), (zs, log_probs) = jax.lax.scan(
-        body, (z0.astype(jnp.float32), dpm_state, z0.astype(jnp.float32)),
-        jnp.arange(T, dtype=jnp.int32),
+    z_T, _, x0_final, zs, log_probs, _ = jax.lax.while_loop(
+        cond, body, (z0f, dpm_state, z0f, zs0, lp0, jnp.int32(0))
     )
 
-    # scan stacks along axis 0 -> (T, B, ...); move time next to batch
-    all_latents = jnp.concatenate(
-        [z0.astype(jnp.float32)[None], zs], axis=0
-    )
+    # padded tail: latents pass through unchanged, log_prob = 0 (same
+    # contract as the old fixed-length scan)
+    valid_t = (jnp.arange(T) < num_steps).reshape((T,) + (1,) * z0.ndim)
+    zs = jnp.where(valid_t, zs, z_T[None])
+
+    # time is stacked along axis 0 -> (T, B, ...); move it next to batch
+    all_latents = jnp.concatenate([z0f[None], zs], axis=0)
     all_latents = jnp.moveaxis(all_latents, 0, 1)  # (B, T+1, ...)
     all_log_probs = jnp.moveaxis(log_probs, 0, 1)  # (B, T)
 

@@ -82,6 +82,12 @@ def main():
     t_roll_full = time_rollout(STEPS_FULL)
     t_roll_flash = time_rollout(FLASH_STEPS)
 
+    # free the rollout model's device buffers before the update phase —
+    # the fp32 AdamW update at depth (1,2) needs nearly all of HBM
+    for leaf in jax.tree.leaves(params):
+        leaf.delete()
+    del params
+
     # ---- update timing (fp32 + AdamW, depth (1,2)) -----------------------
     ucfg = FluxConfig(
         in_channels=64, hidden_size=3072, num_heads=24,
@@ -91,7 +97,9 @@ def main():
     usampler = FluxSampler(ucfg, scfg, height=HEIGHT, width=HEIGHT,
                            text_len=TEXT_LEN, dtype=jnp.bfloat16,
                            attn_impl="auto")
-    uparams = init_flux(jax.random.key(4), ucfg)
+    # staged host-side: the device holds exactly ONE params copy at a time
+    # (update_step donates its inputs)
+    uparams = jax.tree.map(np.asarray, init_flux(jax.random.key(4), ucfg))
     opt = make_optimizer(learning_rate=1e-5)
     update_step, _, _ = make_update_fns(
         ucfg, scfg, PPOConfig(), opt, usampler.rope_cos, usampler.rope_sin,
@@ -107,9 +115,11 @@ def main():
         si = np.zeros(n_pairs, np.int32)
         ti = (np.arange(n_pairs) % STEPS_FULL).astype(np.int32)
         ub = build_update_batch(lat, lp, adv, txt32, pooled, si, ti)
-        ostate = opt.init(uparams)
+        # update_step donates params/opt_state; stage a fresh device copy
+        # from the host so repeated calls don't touch deleted buffers
+        p = jax.device_put(uparams)
+        ostate = opt.init(p)
         ts = []
-        p = uparams
         for _ in range(3):
             t0 = time.time()
             p, ostate, m = update_step(p, ostate, ub, jnp.asarray(sig))
@@ -117,10 +127,13 @@ def main():
             ts.append(time.time() - t0)
         return float(np.median(ts))
 
-    # per-pair cost from two pair counts (subtracts fixed optimizer cost)
+    # per-pair cost from two pair counts (subtracts fixed optimizer cost).
+    # 8 pairs is the largest fused row count that fits HBM next to the
+    # fp32 AdamW state at this depth (15 rows OOMs: 17.49G > 15.75G);
+    # DanceGRPO's 15 pairs/sample is composed from the linear fit below.
     t_upd_4 = time_update(4)
-    t_upd_15 = time_update(15)
-    per_pair = (t_upd_15 - t_upd_4) / 11.0
+    t_upd_8 = time_update(8)
+    per_pair = (t_upd_8 - t_upd_4) / 4.0
     fixed = t_upd_4 - 4 * per_pair
 
     G = 12  # generations per prompt per rank (the recipe)
@@ -137,7 +150,7 @@ def main():
         "rollout_25_steps_s": round(t_roll_full, 3),
         "rollout_flash_13_steps_s": round(t_roll_flash, 3),
         "update_4_pairs_s": round(t_upd_4, 3),
-        "update_15_pairs_s": round(t_upd_15, 3),
+        "update_8_pairs_s": round(t_upd_8, 3),
         "per_pair_s": round(per_pair, 4),
         "iteration_dancegrpo_s": round(it_dance, 2),
         "iteration_mixgrpo_s": round(it_mix, 2),
