@@ -483,7 +483,30 @@ class GRPOTrainer:
         cfg = self.cfg
         self.save_images = save_images
         it = iter(loader)
+        # Graceful preemption: TPU VMs get SIGTERM on maintenance events /
+        # spot reclaim.  Finish the in-flight iteration, checkpoint, and
+        # exit cleanly so --resume_from_checkpoint continues the window
+        # walk (the reference has no preemption handling; a killed rank
+        # loses everything since its resume raises NotImplementedError).
+        import signal
+
+        self._preempted = False
+
+        def _on_term(signum, frame):
+            self._preempted = True
+            main_print(f"signal {signum}: will checkpoint and stop after "
+                       "this iteration")
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_term)
+            except ValueError:  # non-main thread (tests)
+                pass
         while self.global_step < cfg.optim.max_train_steps:
+            if self._preempted:
+                main_print(f"preempted at step {self.global_step}")
+                break
             if (
                 self.global_step > 0
                 and self.global_step % cfg.run.checkpointing_steps == 0
@@ -517,6 +540,8 @@ class GRPOTrainer:
         self.save_checkpoint()
         self.ckpt.close()  # joins any in-flight async periodic save
         self.metrics.close()
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
 
     def save_checkpoint(self, blocking: bool = True):
         train_state = self.lora_factors if self.use_lora else self.params

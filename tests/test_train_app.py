@@ -110,6 +110,38 @@ def test_train_two_steps_and_resume(tmp_path):
     assert trainer2.window.cur_timestep == trainer.window.cur_timestep
 
 
+def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-training finishes the in-flight iteration, checkpoints,
+    and exits; resume continues from the preemption point (TPU maintenance
+    events — the reference has no preemption story)."""
+    import signal
+
+    cfg = _make_cfg(tmp_path, steps=5)
+    trainer, flux_cfg = _build_trainer(tmp_path, cfg)
+    _make_cache(tmp_path, cfg, flux_cfg)
+    loader = PromptLoader(LatentDataset(str(tmp_path / "cache")), 1, seed=0)
+
+    orig = trainer.train_one_step
+    calls = {"n": 0}
+
+    def wrapped(batch, ts):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            signal.raise_signal(signal.SIGTERM)  # handler runs synchronously
+        return orig(batch, ts)
+
+    trainer.train_one_step = wrapped
+    trainer.train(loader)
+    assert trainer.global_step == 2  # stopped after the in-flight iteration
+    assert trainer.ckpt.latest_step() == 2
+
+    cfg2 = _make_cfg(tmp_path, steps=5)
+    cfg2.run.resume_from_checkpoint = "latest"
+    trainer2, _ = _build_trainer(tmp_path, cfg2)
+    assert trainer2.global_step == 2
+    assert trainer2.window.cur_timestep == trainer.window.cur_timestep
+
+
 def test_train_all_strategy_dance(tmp_path):
     cfg = _make_cfg(tmp_path, steps=1, strategy="all")
     cfg.grpo.flow_grpo_sampling = False  # DanceGRPO solver
