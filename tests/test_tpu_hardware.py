@@ -58,3 +58,62 @@ def test_int8_qlinear_uses_mxu_and_matches():
     yq = jax.jit(qlinear)(quantize_linear_params(p), x)
     rel = float(jnp.linalg.norm(yq - y) / jnp.linalg.norm(y))
     assert rel < 0.03, rel
+
+
+def test_rollout_dynamic_length_on_chip():
+    """The traced-bound rollout loop runs exactly num_steps model calls on
+    the real chip: a Flash-compressed trajectory must be materially faster
+    than the full one under the SAME compiled program, and the padded tail
+    must keep the pass-through contract."""
+    import time
+
+    import numpy as np
+
+    from mixgrpo_tpu.models.flux.model import FluxConfig, init_flux
+    from mixgrpo_tpu.sampler import FluxSampler
+    from mixgrpo_tpu.solvers.rollout import SamplerConfig
+
+    # model large enough that the skipped steps dominate the tunnel's
+    # ~28 ms fixed dispatch overhead
+    cfg = FluxConfig(in_channels=64, hidden_size=512, num_heads=4,
+                     depth_double=1, depth_single=2, pooled_dim=64,
+                     context_dim=64)  # head_dim 128 = RoPE axes 16+56+56
+    params = init_flux(jax.random.key(0), cfg)
+    T = 64
+    sampler = FluxSampler(cfg, SamplerConfig(num_steps_max=T, eta=0.7),
+                          height=256, width=256, text_len=16,
+                          dtype=jnp.float32, attn_impl="xla")
+    txt = jax.random.normal(jax.random.key(1), (2, 16, cfg.context_dim))
+    pooled = jax.random.normal(jax.random.key(2), (2, cfg.pooled_dim))
+    z0 = sampler.init_noise(jax.random.key(3), 2)
+    sig = np.linspace(1.0, 0.0, T + 1).astype(np.float32)
+    det = np.ones(T, bool)
+    det[2:5] = False
+
+    def run(n):
+        out = sampler.rollout(params, z0, txt, pooled, sig, det, n,
+                              jax.random.key(4))
+        float(out.final_latents.sum())  # axon: host fetch to sync
+        return out
+
+    run(T), run(8)  # compile + warm both lengths (same program)
+
+    def med_time(n, reps=5):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            run(n)
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    t_full, t_short = med_time(T), med_time(8)
+    # 8 of 64 steps: allow generous tunnel overhead, require real savings
+    assert t_short < 0.8 * t_full, (t_short, t_full)
+
+    out = run(8)
+    lat = np.asarray(out.all_latents)
+    # padded tail frozen at z_8, zero log-probs
+    np.testing.assert_array_equal(lat[:, 9], lat[:, 8])
+    np.testing.assert_array_equal(
+        np.asarray(out.all_log_probs)[:, 8:], 0.0
+    )
