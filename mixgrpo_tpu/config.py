@@ -175,6 +175,11 @@ class RunConfig:
     resume_from_checkpoint: Optional[str] = None
     logging_dir: str = "logs"
     wandb_key: Optional[str] = None
+    # capture a jax.profiler device trace for N steps starting at step 1
+    # (step 0 is compile); viewable in TensorBoard/Perfetto.  The
+    # reference has no profiler hooks (SURVEY.md §5).
+    profile_steps: int = 0
+    profile_dir: Optional[str] = None  # default: <run_dir>/profile
     sp_size: int = 1
     train_sp_batch_size: int = 1
     fsdp_sharding_strategy: str = "full"

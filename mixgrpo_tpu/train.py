@@ -503,10 +503,18 @@ class GRPOTrainer:
                 prev_handlers[sig] = signal.signal(sig, _on_term)
             except ValueError:  # non-main thread (tests)
                 pass
+        prof_until = None  # step at which to stop the profiler trace
         while self.global_step < cfg.optim.max_train_steps:
             if self._preempted:
                 main_print(f"preempted at step {self.global_step}")
                 break
+            if cfg.run.profile_steps > 0 and self.global_step == 1:
+                prof_dir = cfg.run.profile_dir or os.path.join(
+                    self.run_dir, "profile"
+                )
+                jax.profiler.start_trace(prof_dir)
+                prof_until = 1 + cfg.run.profile_steps
+                main_print(f"profiler trace -> {prof_dir}")
             if (
                 self.global_step > 0
                 and self.global_step % cfg.run.checkpointing_steps == 0
@@ -537,6 +545,11 @@ class GRPOTrainer:
                 f"reward={metrics['reward']:.4f} window@{self.window.cur_timestep}"
             )
             self.global_step += 1
+            if prof_until is not None and self.global_step >= prof_until:
+                jax.profiler.stop_trace()
+                prof_until = None
+        if prof_until is not None:  # preempted/finished mid-trace
+            jax.profiler.stop_trace()
         self.save_checkpoint()
         self.ckpt.close()  # joins any in-flight async periodic save
         self.metrics.close()

@@ -142,6 +142,21 @@ def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
     assert trainer2.window.cur_timestep == trainer.window.cur_timestep
 
 
+def test_profile_steps_writes_trace(tmp_path):
+    """--profile_steps captures a jax.profiler trace of step 1."""
+    cfg = _make_cfg(tmp_path, steps=2)
+    cfg.run.profile_steps = 1
+    trainer, flux_cfg = _build_trainer(tmp_path, cfg)
+    _make_cache(tmp_path, cfg, flux_cfg)
+    loader = PromptLoader(LatentDataset(str(tmp_path / "cache")), 1, seed=0)
+    trainer.train(loader)
+    prof_dir = os.path.join(trainer.run_dir, "profile")
+    files = [
+        os.path.join(r, f) for r, _, fs in os.walk(prof_dir) for f in fs
+    ]
+    assert files, f"no trace files under {prof_dir}"
+
+
 def test_train_all_strategy_dance(tmp_path):
     cfg = _make_cfg(tmp_path, steps=1, strategy="all")
     cfg.grpo.flow_grpo_sampling = False  # DanceGRPO solver
