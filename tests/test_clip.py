@@ -43,7 +43,10 @@ def hf_clip():
         num_attention_heads=2, image_size=32, patch_size=8,
         hidden_act="quick_gelu",
     )
-    cfg = HFCLIPConfig.from_text_vision_configs(tcfg, vcfg, projection_dim=16)
+    cfg = HFCLIPConfig(
+        text_config=tcfg.to_dict(), vision_config=vcfg.to_dict(),
+        projection_dim=16,
+    )
     torch.manual_seed(0)
     model = CLIPModel(cfg).eval()
     return model
