@@ -45,8 +45,11 @@ RECIPE_PAIRS = 48    # 12 samples x window 4
 
 
 def main():
+    global HEIGHT
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--height", type=int, default=HEIGHT,
+                    help="image size (512 default; 720 = the recipe shape)")
     ap.add_argument("--phases", default="rollout,vae,reward,update",
                     help="comma list: rollout,vae,reward,update")
     ap.add_argument("--update_vd", default="19,38",
@@ -57,6 +60,7 @@ def main():
                          "weight-cycling methodology the forward bench "
                          "validates against full-depth measurement)")
     args = ap.parse_args()
+    HEIGHT = args.height
     # "none": run the update at the model's REAL (2,4) depth with no
     # weight-cycling — the cycling gather inside the rematerialized
     # backward is what overwhelms the compile helper — and compose.
