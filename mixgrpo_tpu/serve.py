@@ -82,6 +82,15 @@ class RequestBatcher:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
+        # release any waiters still queued (their submit() would otherwise
+        # block for its full timeout)
+        while True:
+            try:
+                req = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            req.error = "server shutting down"
+            req.done.set()
 
     # -- worker ----------------------------------------------------------
     def _take_batch(self):
@@ -164,6 +173,8 @@ def make_handler(batcher: RequestBatcher):
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 prompt = payload["prompt"]
+                if not isinstance(prompt, str):
+                    raise TypeError("prompt must be a string")
                 seed = int(payload.get("seed", 0))
             except Exception as e:
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
@@ -294,7 +305,7 @@ def main():
     )
     encoder = build_prompt_encoder_from_dir(args.model_path)
     batcher = RequestBatcher(
-        make_generate_fn(pipe, encoder.encode),
+        make_generate_fn(pipe, encoder),  # PromptEncoder is callable
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
     )
     with InferenceServer(batcher, port=args.port) as srv:

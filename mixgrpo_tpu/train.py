@@ -504,16 +504,38 @@ class GRPOTrainer:
             except ValueError:  # non-main thread (tests)
                 pass
         prof_until = None  # step at which to stop the profiler trace
+        # skip the first (compile) step; works on resume at any step
+        prof_start = self.global_step + 1
+        try:
+            self._train_loop(cfg, it, prof_start, prof_until)
+        finally:
+            # always restore process signal handlers and close an open
+            # profiler trace, even if a step raised mid-loop
+            if getattr(self, "_prof_active", False):
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
+                self._prof_active = False
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
+        self.save_checkpoint()
+        self.ckpt.close()  # joins any in-flight async periodic save
+        self.metrics.close()
+
+    def _train_loop(self, cfg, it, prof_start, prof_until):
+        self._prof_active = False
         while self.global_step < cfg.optim.max_train_steps:
             if self._preempted:
                 main_print(f"preempted at step {self.global_step}")
                 break
-            if cfg.run.profile_steps > 0 and self.global_step == 1:
+            if cfg.run.profile_steps > 0 and self.global_step == prof_start:
                 prof_dir = cfg.run.profile_dir or os.path.join(
                     self.run_dir, "profile"
                 )
                 jax.profiler.start_trace(prof_dir)
-                prof_until = 1 + cfg.run.profile_steps
+                self._prof_active = True
+                prof_until = prof_start + cfg.run.profile_steps
                 main_print(f"profiler trace -> {prof_dir}")
             if (
                 self.global_step > 0
@@ -547,14 +569,8 @@ class GRPOTrainer:
             self.global_step += 1
             if prof_until is not None and self.global_step >= prof_until:
                 jax.profiler.stop_trace()
+                self._prof_active = False
                 prof_until = None
-        if prof_until is not None:  # preempted/finished mid-trace
-            jax.profiler.stop_trace()
-        self.save_checkpoint()
-        self.ckpt.close()  # joins any in-flight async periodic save
-        self.metrics.close()
-        for sig, h in prev_handlers.items():
-            signal.signal(sig, h)
 
     def save_checkpoint(self, blocking: bool = True):
         train_state = self.lora_factors if self.use_lora else self.params

@@ -256,7 +256,9 @@ def main():
         )
     rnd = lambda v, p: None if v is None else round(v, p)
     print(json.dumps({
-        "metric": "grpo_iteration_seconds_per_chip_512px_fluxdev_fulldepth",
+        "metric": (
+            f"grpo_iteration_seconds_per_chip_{HEIGHT}px_fluxdev_fulldepth"
+        ),
         "quant": args.quant,
         f"rollout_s_group{GROUP}": rnd(t_rollout, 2),
         f"vae_decode_s_x{GROUP}": rnd(t_vae, 3),

@@ -23,9 +23,14 @@ REMOTE_DIR=${REMOTE_DIR:-"~/mixgrpo_tpu"}
 REPO_ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 
 echo "[launch] syncing ${REPO_ROOT} -> ${TPU_NAME}:${REMOTE_DIR} (all workers)"
+# remove any stale copy first: scp -r into an EXISTING dir would nest the
+# local basename inside it; into a missing path it creates REMOTE_DIR
+# itself, regardless of the local checkout's name
+gcloud compute tpus tpu-vm ssh "${TPU_NAME}" --worker=all --zone="${ZONE}" \
+  ${TPU_SSH_EXTRA:-} --command="rm -rf ${REMOTE_DIR}"
 gcloud compute tpus tpu-vm scp --recurse --worker=all --zone="${ZONE}" \
   ${TPU_SSH_EXTRA:-} \
-  "${REPO_ROOT}" "${TPU_NAME}:${REMOTE_DIR%/*}/"
+  "${REPO_ROOT}" "${TPU_NAME}:${REMOTE_DIR}"
 
 echo "[launch] running ${SCRIPT} on all workers"
 gcloud compute tpus tpu-vm ssh "${TPU_NAME}" --worker=all --zone="${ZONE}" \

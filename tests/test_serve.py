@@ -165,6 +165,14 @@ def test_http_server_end_to_end_tiny_flux():
         status, body = _get(srv.port, "/stats")
         assert json.loads(body)["requests"] >= 3
 
+        # non-string prompt -> 400 at the HTTP layer (never reaches the
+        # batcher, so it cannot poison a co-batched micro-batch)
+        try:
+            _post(srv.port, {"prompt": 123})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
         # malformed request -> 400, server stays alive
         req = urllib.request.Request(
             f"http://127.0.0.1:{srv.port}/generate", data=b"not json",
