@@ -218,3 +218,56 @@ def test_rollout_deterministic_given_key():
     c = run_rollout(cfg, fn, jnp.asarray(eps), sigmas=sig, deterministic=det,
                     num_steps=T, rng=jax.random.key(12))
     assert not np.allclose(np.asarray(a.all_latents), np.asarray(c.all_latents))
+
+
+def test_run_rollout_matches_python_step_loop():
+    """The fused traced-bound loop reproduces a plain Python loop of
+    rollout_step exactly (latents AND log-probs), including SDE window
+    steps and the padded tail — guards the while_loop carry/indexing."""
+    from mixgrpo_tpu.solvers import dpm as dpm_mod
+    from mixgrpo_tpu.solvers.rollout import rollout_step
+
+    T, n_valid = 10, 8
+    rng = np.random.default_rng(7)
+    x0 = rng.normal(size=(2, 16)).astype(np.float32)
+    eps = rng.normal(size=(2, 16)).astype(np.float32)
+    sig = jnp.asarray(sigma_schedule(T, 3.0))
+    det = jnp.asarray(deterministic_mask(T, [3, 4, 5]))
+    cfg = SamplerConfig(num_steps_max=T, eta=0.7)
+    fn = _exact_model_fn(x0, eps)
+    key = jax.random.key(11)
+
+    out = run_rollout(cfg, fn, jnp.asarray(eps), sigmas=sig,
+                      deterministic=det, num_steps=n_valid, rng=key)
+
+    z = jnp.asarray(eps, jnp.float32)
+    st = dpm_mod.dpm_state_init(max(cfg.dpm_solver_order, 1), z.shape,
+                                jnp.float32)
+    last_sde = int(np.max(np.nonzero(~np.asarray(det))[0]))
+    for i in range(n_valid):
+        noise = jax.random.normal(
+            jax.random.fold_in(key, i), z.shape, jnp.float32
+        )
+        z, lp, _, st = rollout_step(
+            cfg, fn, z, st, sigmas=sig, step_index=jnp.int32(i),
+            num_steps=jnp.int32(n_valid), deterministic=det[i],
+            last_sde_index=jnp.int32(last_sde), noise=noise,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.all_latents[:, i + 1]), np.asarray(z),
+            rtol=1e-5, atol=1e-6, err_msg=f"latents step {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.all_log_probs[:, i]), np.asarray(lp),
+            rtol=1e-5, atol=1e-6, err_msg=f"log_prob step {i}",
+        )
+    # padded tail: frozen latents, zero log-probs, valid mask correct
+    lat = np.asarray(out.all_latents)
+    for i in range(n_valid + 1, T + 1):
+        np.testing.assert_array_equal(lat[:, i], lat[:, n_valid])
+    np.testing.assert_array_equal(
+        np.asarray(out.all_log_probs)[:, n_valid:], 0.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.step_valid), np.arange(T) < n_valid
+    )
