@@ -7,6 +7,11 @@ reward models (:86-173 model list; "all" = HPS + ImageReward + CLIP + Pick
 per-model means (:231-276).  PickScore is reported denormalized as
 ``(r * 8 + 18) / 100`` (:225).  Per-sample success flags propagate into the
 means (failed scores excluded, :264-276).
+
+Multi-host: each process writes its ``rewards_{i}.json`` shard; after a
+global barrier rank 0 reads *all* shards so the published means cover
+every image (the reference's all_gather_object, :231-276).  Single-image
+mode (``--image`` + ``--prompt``) mirrors eval_reward.py:177-190.
 """
 
 from __future__ import annotations
@@ -97,11 +102,43 @@ def summarize(results: List[dict]) -> Dict[str, float]:
     return out
 
 
+def gather_result_shards(output_dir: str) -> List[dict]:
+    """Rank 0 collects every host's ``rewards_*.json`` shard so the summary
+    covers all images (the reference all_gathers before computing means,
+    eval_reward.py:231-276; round-2 shipped a 1/N-shard summary)."""
+    results: List[dict] = []
+    for f in sorted(os.listdir(output_dir)):
+        if f.startswith("rewards_") and f.endswith(".json"):
+            with open(os.path.join(output_dir, f)) as fh:
+                results.extend(json.load(fh))
+    return results
+
+
+def score_single_image(
+    image_path: str, prompt: str, reward_models: Dict[str, object]
+) -> Dict[str, float]:
+    """One-shot scoring mode (eval_reward.py:177-190)."""
+    from PIL import Image
+
+    arr = np.asarray(Image.open(image_path).convert("RGB"), np.float32) / 255.0
+    images = arr[None]
+    out: Dict[str, float] = {}
+    for name, model in reward_models.items():
+        scores, successes = model(images, [prompt])
+        out[f"{name}_reward"] = float(scores[0])
+        out[f"{name}_success"] = bool(successes[0])
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--metadata", type=str, required=True)
-    p.add_argument("--image_dir", type=str, required=True)
-    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--metadata", type=str, default=None)
+    p.add_argument("--image_dir", type=str, default=None)
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--image", type=str, default=None,
+                   help="single-image mode: path to one image")
+    p.add_argument("--prompt", type=str, default=None,
+                   help="single-image mode: its prompt")
     p.add_argument("--reward_model", type=str, default="all",
                    choices=["all", "hpsv2", "clip_score", "pick_score",
                             "image_reward", "unified_reward"])
@@ -115,6 +152,11 @@ def main():
     p.add_argument("--unified_reward_url", type=str, default=None)
     p.add_argument("--clip_bpe_path", type=str, default=os.environ.get("CLIP_BPE_PATH"))
     args = p.parse_args()
+    single = args.image is not None
+    if single and args.prompt is None:
+        p.error("--image requires --prompt")
+    if not single and not (args.metadata and args.image_dir and args.output_dir):
+        p.error("batch mode requires --metadata, --image_dir and --output_dir")
 
     import jax
 
@@ -147,6 +189,16 @@ def main():
     if "unified_reward" in wanted:
         models["unified_reward"] = UnifiedReward(args.unified_reward_url)
 
+    if single:
+        scores = score_single_image(args.image, args.prompt, models)
+        main_print(json.dumps(scores, indent=2))
+        if args.output_dir:
+            os.makedirs(args.output_dir, exist_ok=True)
+            with open(os.path.join(args.output_dir, "single_reward.json"), "w") as f:
+                json.dump({"image": args.image, "prompt": args.prompt,
+                           **scores}, f, indent=2)
+        return
+
     entries = load_metadata(args.metadata)
     results = evaluate(
         entries, args.image_dir, models, args.batch_size,
@@ -156,8 +208,13 @@ def main():
     pi = jax.process_index()
     with open(os.path.join(args.output_dir, f"rewards_{pi}.json"), "w") as f:
         json.dump(results, f, indent=2)
+    if jax.process_count() > 1:
+        # all shards must be on disk before rank 0 summarizes
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("eval_rewards_shards_written")
     if pi == 0:
-        summary = summarize(results)
+        summary = summarize(gather_result_shards(args.output_dir))
         with open(os.path.join(args.output_dir, "reward_means.txt"), "w") as f:
             for k, v in summary.items():
                 f.write(f"{k}: {v}\n")

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from mixgrpo_tpu.models.flux import layers as L
 from mixgrpo_tpu.models.flux.rope import apply_rope
 from mixgrpo_tpu.ops.attention import attention
+from mixgrpo_tpu.parallel.sharding import constrain_attn, constrain_residual
 
 
 @dataclasses.dataclass(frozen=True)
@@ -179,14 +180,17 @@ def _double_block(p, cfg: FluxConfig, img, txt, vec, rope_cos, rope_sin,
     iq, ik = _qk_norm(iq, ik, p["img_qnorm"], p["img_knorm"], eps)
     tq, tk = _qk_norm(tq, tk, p["txt_qnorm"], p["txt_knorm"], eps)
 
-    # joint sequence: [text | image] (diffusers FLUX ordering)
-    q = jnp.concatenate([tq, iq], axis=2)
-    k = jnp.concatenate([tk, ik], axis=2)
-    v = jnp.concatenate([tv, iv], axis=2)
+    # joint sequence: [text | image] (diffusers FLUX ordering).  The
+    # explicit activation constraints keep the concat and attention on one
+    # consistent layout under tp/sp meshes (see sharding.constrain_attn).
+    q = constrain_attn(jnp.concatenate([tq, iq], axis=2))
+    k = constrain_attn(jnp.concatenate([tk, ik], axis=2))
+    v = constrain_attn(jnp.concatenate([tv, iv], axis=2))
     q = apply_rope(q, rope_cos, rope_sin)
     k = apply_rope(k, rope_cos, rope_sin)
 
-    out = _merge_heads(attention(q, k, v, mask=attn_mask, impl=attn_impl))
+    out = constrain_attn(attention(q, k, v, mask=attn_mask, impl=attn_impl))
+    out = _merge_heads(out)
     Lt = txt.shape[1]
     txt_attn, img_attn = out[:, :Lt], out[:, Lt:]
 
@@ -214,12 +218,13 @@ def _single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl,
     proj = L.linear(p["linear1"], x_mod, dtype)
     qkv, mlp = proj[..., : 3 * h], proj[..., 3 * h :]
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    q, k, v = (_split_heads(t, H) for t in (q, k, v))
+    q, k, v = (constrain_attn(_split_heads(t, H)) for t in (q, k, v))
     q, k = _qk_norm(q, k, p["qnorm"], p["knorm"], eps)
     q = apply_rope(q, rope_cos, rope_sin)
     k = apply_rope(k, rope_cos, rope_sin)
 
-    attn_out = _merge_heads(attention(q, k, v, mask=attn_mask, impl=attn_impl))
+    attn_out = constrain_attn(attention(q, k, v, mask=attn_mask, impl=attn_impl))
+    attn_out = _merge_heads(attn_out)
     out = L.linear(
         p["linear2"], jnp.concatenate([attn_out, L.gelu_tanh(mlp)], axis=-1), dtype
     )
@@ -285,10 +290,11 @@ def flux_forward(
         img_h, txt_h = _double_block(
             p, cfg, img_h, txt_h, vec, rope_cos, rope_sin, attn_impl, dtype
         )
-        return (img_h, txt_h), None
+        return (constrain_residual(img_h), constrain_residual(txt_h)), None
 
     def single_body(x_h, p):
-        return _single_block(p, cfg, x_h, vec, rope_cos, rope_sin, attn_impl, dtype), None
+        out = _single_block(p, cfg, x_h, vec, rope_cos, rope_sin, attn_impl, dtype)
+        return constrain_residual(out), None
 
     if remat:
         # remat=True: full recompute (min memory); remat="dots": XLA may keep

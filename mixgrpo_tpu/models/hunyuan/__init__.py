@@ -4,6 +4,12 @@ from mixgrpo_tpu.models.hunyuan.model import (
     hunyuan_video_forward,
     make_video_ids,
 )
+from mixgrpo_tpu.models.hunyuan.load import (
+    convert_hunyuan_state_dict,
+    export_hunyuan_state_dict,
+    infer_hunyuan_config,
+    load_hunyuan_video,
+)
 from mixgrpo_tpu.models.hunyuan.scheduler import FlowMatchDiscreteScheduler
 from mixgrpo_tpu.models.hunyuan.sampler import HunyuanVideoSampler
 
@@ -12,6 +18,10 @@ __all__ = [
     "init_hunyuan_video",
     "hunyuan_video_forward",
     "make_video_ids",
+    "convert_hunyuan_state_dict",
+    "export_hunyuan_state_dict",
+    "infer_hunyuan_config",
+    "load_hunyuan_video",
     "FlowMatchDiscreteScheduler",
     "HunyuanVideoSampler",
 ]

@@ -61,6 +61,29 @@ class HunyuanVideoPipeline:
         self.sigmas = sched.sigmas
         self._sample = jax.jit(self._sample_impl)
 
+    @classmethod
+    def from_checkpoint(
+        cls,
+        dit_path: str,
+        vae_path: Optional[str] = None,
+        cfg: Optional[HunyuanVideoConfig] = None,
+        vae_cfg: Optional[CausalVAEConfig] = None,
+        **kw,
+    ) -> "HunyuanVideoPipeline":
+        """Build from released checkpoints: the official transformer .pt
+        (fastvideo/models/hunyuan/inference.py:100-102 Inference.load_state_dict)
+        and optionally the 3D-causal VAE dir."""
+        from mixgrpo_tpu.models.hunyuan.load import load_hunyuan_video
+
+        params, cfg = load_hunyuan_video(dit_path, cfg)
+        vae_params = None
+        if vae_path is not None:
+            from mixgrpo_tpu.models.hunyuan.vae3d import load_causal_vae_decoder
+
+            vae_cfg = vae_cfg or CausalVAEConfig.hunyuan_video()
+            vae_params = load_causal_vae_decoder(vae_path, vae_cfg)
+        return cls(cfg, params, vae_cfg=vae_cfg, vae_params=vae_params, **kw)
+
     def _sample_impl(self, params, z0, txt, pooled, text_mask, rng):
         B, T, H, W, C = z0.shape
 

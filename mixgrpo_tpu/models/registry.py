@@ -27,12 +27,13 @@ def _flux_entry() -> ModelEntry:
 
 
 def _hunyuan_entry() -> ModelEntry:
+    from mixgrpo_tpu.models.hunyuan.load import load_hunyuan_video
     from mixgrpo_tpu.models.hunyuan.model import (
         HunyuanVideoConfig, hunyuan_video_forward, init_hunyuan_video,
     )
 
     return ModelEntry(HunyuanVideoConfig.hunyuan_video, init_hunyuan_video,
-                      hunyuan_video_forward)
+                      hunyuan_video_forward, load_hunyuan_video)
 
 
 def _mochi_entry() -> ModelEntry:

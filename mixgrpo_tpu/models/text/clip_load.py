@@ -36,6 +36,105 @@ def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     return {k: _to_np(v) for k, v in obj.items()}
 
 
+# ---------------------------------------------------------------------------
+# checkpoint-config introspection
+# ---------------------------------------------------------------------------
+#
+# The reference builds CLIP reward towers from the checkpoint's own config
+# (open_clip ``create_model_from_pretrained``, reward_model/clip_score.py:39
+# — reads the hub repo's config JSON), so quick-GELU variants like DFN5B
+# are constructed correctly by construction.  Equivalent here: read the
+# config JSON shipped next to the weights instead of hard-coding vit_h_14.
+
+
+def clip_config_from_json(cfg: dict, image_size=None) -> CLIPConfig:
+    """Build a CLIPConfig from either config flavor:
+
+    - HF ``CLIPModel`` config.json: ``vision_config``/``text_config`` with
+      hidden_size / num_hidden_layers / num_attention_heads / image_size /
+      patch_size / hidden_act / projection_dim;
+    - open_clip ``open_clip_config.json``: ``model_cfg`` with ``embed_dim``,
+      ``quick_gelu`` and ``vision_cfg``/``text_cfg`` (width, layers,
+      head_width | heads, image_size, patch_size, context_length, vocab_size).
+    """
+    from mixgrpo_tpu.models.text.clip import CLIPConfig, CLIPTowerConfig
+
+    if "model_cfg" in cfg:  # open_clip flavor
+        m = cfg["model_cfg"]
+        v, t = m["vision_cfg"], m["text_cfg"]
+        v_width = v["width"]
+        v_heads = v_width // v.get("head_width", 64)
+        vision = CLIPTowerConfig(
+            width=v_width, layers=v["layers"], heads=v_heads,
+            patch=v.get("patch_size", 14),
+            image_size=image_size or v.get("image_size", 224),
+        )
+        text = CLIPTowerConfig(
+            width=t["width"], layers=t["layers"],
+            heads=t.get("heads", t["width"] // 64),
+            vocab=t.get("vocab_size", 49408),
+            context=t.get("context_length", 77),
+        )
+        return CLIPConfig(
+            embed_dim=m["embed_dim"], vision=vision, text=text,
+            quick_gelu=bool(m.get("quick_gelu", False)),
+        )
+
+    v, t = cfg["vision_config"], cfg["text_config"]
+    vision = CLIPTowerConfig(
+        width=v["hidden_size"], layers=v["num_hidden_layers"],
+        heads=v["num_attention_heads"], patch=v.get("patch_size", 14),
+        image_size=image_size or v.get("image_size", 224),
+    )
+    text = CLIPTowerConfig(
+        width=t["hidden_size"], layers=t["num_hidden_layers"],
+        heads=t["num_attention_heads"], vocab=t.get("vocab_size", 49408),
+        context=t.get("max_position_embeddings", 77),
+    )
+    return CLIPConfig(
+        embed_dim=cfg.get("projection_dim", 512), vision=vision, text=text,
+        quick_gelu=v.get("hidden_act", "gelu") == "quick_gelu",
+    )
+
+
+def find_clip_config(path: str):
+    """Locate the config JSON for a checkpoint path (file or directory):
+    ``open_clip_config.json`` then ``config.json`` in the directory (or the
+    file's parent).  Returns the parsed dict or None."""
+    import json
+    import os
+
+    d = path if os.path.isdir(path) else os.path.dirname(os.path.abspath(path))
+    for name in ("open_clip_config.json", "config.json"):
+        p = os.path.join(d, name)
+        if os.path.exists(p):
+            with open(p) as f:
+                cfg = json.load(f)
+            if "model_cfg" in cfg or "vision_config" in cfg:
+                return cfg
+    return None
+
+
+def clip_config_from_checkpoint(
+    path: str, image_size=None, default=None
+) -> CLIPConfig:
+    """Config introspected from the checkpoint dir; falls back to
+    ``default`` (or ViT-H-14) with a warning when no config JSON exists
+    (e.g. a bare HPS_v2.1_compressed.pt — which *is* ViT-H-14)."""
+    cfg = find_clip_config(path)
+    if cfg is not None:
+        return clip_config_from_json(cfg, image_size=image_size)
+    if default is not None:
+        return default
+    import warnings
+
+    warnings.warn(
+        f"no config JSON next to {path!r}; assuming OpenCLIP ViT-H-14 "
+        "geometry (quick_gelu=False)"
+    )
+    return CLIPConfig.vit_h_14(image_size=image_size or 224)
+
+
 def _ln(st, name):
     return {"scale": st[f"{name}.weight"].astype(np.float32),
             "bias": st[f"{name}.bias"].astype(np.float32)}

@@ -6,6 +6,9 @@ from mixgrpo_tpu.parallel.sharding import (
     replicated_spec,
     put_global_batch,
     get_local_batch,
+    set_activation_mesh,
+    get_activation_mesh,
+    constrain_attn,
 )
 
 __all__ = [
@@ -18,4 +21,7 @@ __all__ = [
     "replicated_spec",
     "put_global_batch",
     "get_local_batch",
+    "set_activation_mesh",
+    "get_activation_mesh",
+    "constrain_attn",
 ]

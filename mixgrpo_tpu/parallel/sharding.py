@@ -40,9 +40,14 @@ _FLUX_RULES = [
     # adaLN modulation heads: replicate over tp (chunked output), fsdp on in
     (r"(img_mod|txt_mod|mod|final_mod)/lin/w$", P("fsdp", None)),
     (r"(img_mod|txt_mod|mod|final_mod)/lin/b$", P()),
-    # embedders
-    (r"(x_embedder|context_embedder|proj_out)/w$", P(None, "fsdp")),
-    (r"(time_in|vector_in|guidance_in)/(in|out)/w$", P(None, "fsdp")),
+    # embedders: replicated.  They are tiny next to the block stacks
+    # (context_embedder 4096x3072 is the largest), and fsdp-sharding their
+    # output dim makes the backward dW dot demand hidden-sharded cotangents
+    # while the block-scan cotangents are batch-sharded — an SPMD resharding
+    # XLA can only do by involuntary full rematerialization (round-2 dryrun
+    # warning, VERDICT #2).
+    (r"(x_embedder|context_embedder|proj_out)/w$", P()),
+    (r"(time_in|vector_in|guidance_in)/(in|out)/w$", P()),
     # everything else (biases, qk norms) replicated
     (r".*", P()),
 ]
@@ -105,6 +110,84 @@ def data_spec(mesh: Mesh, ndim: int, batch_axes=("dp", "fsdp")) -> NamedSharding
 
 def replicated_spec(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# activation sharding (attention tensors)
+# ---------------------------------------------------------------------------
+#
+# Under a tp (and/or sp) mesh, XLA's sharding propagation has to pick a
+# layout for the joint-sequence concat of the text/image Q/K/V streams
+# ((B, H, S, D), concat on S).  Left to itself it can pick conflicting
+# shardings on either side of the concat and fall back to "involuntary full
+# rematerialization" — replicating the tensor every rollout step (observed
+# in the round-2 8-device dryrun).  Pinning the attention activations to
+# the natural layout (batch on dp/fsdp, heads on tp, sequence on sp) keeps
+# the concat, RoPE, and attention all on one consistent sharding.  The
+# reference's counterpart is its hand-rolled head resharding
+# (fastvideo/utils/communications.py:17-100).
+
+_ACT_MESH = [None]
+
+
+def set_activation_mesh(mesh: Mesh | None) -> None:
+    """Install (or clear) the mesh used by :func:`constrain_attn`."""
+    _ACT_MESH[0] = mesh
+
+
+def get_activation_mesh() -> Mesh | None:
+    return _ACT_MESH[0]
+
+
+def batch_axes_for(mesh: Mesh, dim: int, axes=("dp", "fsdp")):
+    """The (dp, fsdp) axes usable to shard a batch dim of size ``dim``."""
+    use = tuple(a for a in axes if mesh.shape.get(a, 1) > 1)
+    total = 1
+    for a in use:
+        total *= mesh.shape[a]
+    return use if use and dim % total == 0 else ()
+
+
+def constrain_attn(x):
+    """Sharding constraint for (B, H, S, D) attention activations.
+
+    Batch -> (dp, fsdp), heads -> tp, sequence -> sp — each only when the
+    dim divides evenly; no-op when no activation mesh is installed.
+    """
+    mesh = _ACT_MESH[0]
+    if mesh is None or x.ndim != 4:
+        return x
+    B, H, S, _ = x.shape
+    b = batch_axes_for(mesh, B) or None
+    tp = mesh.shape.get("tp", 1)
+    sp = mesh.shape.get("sp", 1)
+    h = "tp" if tp > 1 and H % tp == 0 else None
+    s = "sp" if sp > 1 and S % sp == 0 else None
+    if b is None and h is None and s is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(b, h, s, None))
+    )
+
+
+def constrain_residual(x):
+    """Sharding constraint for (B, S, hidden) residual-stream activations.
+
+    Batch on (dp, fsdp), sequence and hidden replicated — the Megatron
+    layout (tp shards weights and attention heads, never the residual
+    stream).  Applied at the block-scan carry boundary so the backward
+    (transposed) scan keeps one consistent layout instead of SPMD guessing
+    a hidden-dim sharding from the fsdp-sharded embedder weights.
+    """
+    mesh = _ACT_MESH[0]
+    if mesh is None or x.ndim != 3:
+        return x
+    b = batch_axes_for(mesh, x.shape[0]) or None
+    if b is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(b, None, None))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -86,13 +86,18 @@ def ulysses_attention(
         o = attention(q, k, v, mask=local_mask, impl=base_impl)
         return jax.lax.all_to_all(o, axis, split_axis=2, concat_axis=1, tiled=True)
 
-    spec = P(None, None, axis, None)
+    # Batch rides dp/fsdp when divisible (pure data parallelism inside the
+    # shard_map — no collective touches it); otherwise replicated.
+    from mixgrpo_tpu.parallel.sharding import batch_axes_for
+
+    b = batch_axes_for(mesh, q.shape[0]) or None
+    spec = P(b, None, axis, None)
     if mask is None:
         return shard_map(
             lambda q, k, v: local(q, k, v, None),
             mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         )(q, k, v)
-    mspec = P(None, axis)
+    mspec = P(b, axis)
     return shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec, mspec), out_specs=spec,
     )(q, k, v, m)

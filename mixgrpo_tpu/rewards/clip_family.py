@@ -32,6 +32,7 @@ from mixgrpo_tpu.models.text.clip import (
     clip_text_features,
 )
 from mixgrpo_tpu.models.text.clip_load import (
+    clip_config_from_checkpoint,
     load_clip_hf,
     load_clip_openclip,
     load_torch_state,
@@ -88,7 +89,12 @@ class HPSReward(_ClipRewardBase):
     @classmethod
     def from_checkpoint(cls, hps_ckpt_path: str, merges_path: Optional[str] = None,
                         **kw) -> "HPSReward":
-        cfg = CLIPConfig.vit_h_14(image_size=224)
+        # HPS_v2.1_compressed.pt ships bare; ViT-H-14/224 is its published
+        # geometry, but a sibling config JSON (if present) wins.
+        cfg = clip_config_from_checkpoint(
+            hps_ckpt_path, image_size=224,
+            default=CLIPConfig.vit_h_14(image_size=224),
+        )
         params = load_clip_openclip(load_torch_state(hps_ckpt_path), cfg)
         tok = CLIPTokenizer(merges_path) if merges_path else None
         return cls(params, cfg, tok, **kw)
@@ -107,7 +113,11 @@ class PickScoreReward(_ClipRewardBase):
                         **kw) -> "PickScoreReward":
         from mixgrpo_tpu.models.flux.load import load_safetensors_dir
 
-        cfg = CLIPConfig.vit_h_14(image_size=224)
+        # PickScore_v1 is an HF CLIPModel dir: read its config.json
+        # (hidden_act, geometry) like the reference's from_pretrained does.
+        cfg = clip_config_from_checkpoint(
+            ckpt_path, default=CLIPConfig.vit_h_14(image_size=224)
+        )
         params = load_clip_hf(load_safetensors_dir(ckpt_path), cfg)
         tok = CLIPTokenizer(merges_path) if merges_path else None
         return cls(params, cfg, tok, **kw)
@@ -120,8 +130,23 @@ class CLIPScoreReward(_ClipRewardBase):
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, merges_path: Optional[str] = None,
-                        image_size: int = 384, **kw) -> "CLIPScoreReward":
-        cfg = CLIPConfig.vit_h_14(image_size=image_size)
+                        image_size: Optional[int] = None, **kw) -> "CLIPScoreReward":
+        # DFN5B publishes open_clip_config.json (quick_gelu=true, 384px);
+        # introspect it rather than hard-coding — the reference builds from
+        # checkpoint config too (clip_score.py:39 create_model_from_pretrained).
+        from mixgrpo_tpu.models.text.clip_load import find_clip_config
+
+        if find_clip_config(ckpt_path) is None:
+            import warnings
+
+            warnings.warn(
+                f"no config JSON next to {ckpt_path!r}; assuming ViT-H-14/"
+                f"{image_size or 384} with quick_gelu=False — DFN5B models "
+                "are quickgelu variants, ship the open_clip_config.json"
+            )
+            cfg = CLIPConfig.vit_h_14(image_size=image_size or 384)
+        else:
+            cfg = clip_config_from_checkpoint(ckpt_path, image_size=image_size)
         params = load_clip_openclip(load_torch_state(ckpt_path), cfg)
         tok = CLIPTokenizer(merges_path) if merges_path else None
         return cls(params, cfg, tok, **kw)

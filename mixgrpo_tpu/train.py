@@ -40,7 +40,8 @@ from mixgrpo_tpu.models.flux.latents import denormalize_latents, unpack_latents
 from mixgrpo_tpu.models.flux.model import FluxConfig, init_flux
 from mixgrpo_tpu.models.flux.vae import VAEConfig, postprocess_images, vae_decode
 from mixgrpo_tpu.parallel import (
-    get_local_batch, make_mesh, put_global_batch, shard_params,
+    get_local_batch, make_mesh, put_global_batch, set_activation_mesh,
+    shard_params,
 )
 from mixgrpo_tpu.rl.advantage import (
     global_advantages, group_advantages, masked_mix_advantages,
@@ -82,6 +83,10 @@ class GRPOTrainer:
         self.cfg = cfg
         self.flux_cfg = flux_cfg or FluxConfig.flux_dev()
         self.mesh = make_mesh(cfg.mesh)
+        # pin attention activations (batch->dp/fsdp, heads->tp, seq->sp) so
+        # SPMD never falls back to involuntary full rematerialization on the
+        # joint-sequence concat (round-2 dryrun warning)
+        set_activation_mesh(self.mesh)
         self.dtype = dtype
 
         if params is None:

@@ -251,6 +251,28 @@ def check_hunyuan_vae(path: str, cfg=None, dtype=None):
     return out
 
 
+def check_hunyuan_dit(path: str, cfg=None, dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    from mixgrpo_tpu.models.hunyuan.load import load_hunyuan_video
+    from mixgrpo_tpu.models.hunyuan.model import hunyuan_video_forward
+
+    params, cfg = load_hunyuan_video(path, cfg)
+    k = jax.random.key(17)
+    z = jax.random.normal(k, (1, 2, 8, 8, cfg.in_channels))
+    txt = jax.random.normal(k, (1, 6, cfg.text_states_dim))
+    pooled = jax.random.normal(k, (1, cfg.text_states_dim_2))
+    mask = jnp.ones((1, 6), jnp.int32)
+    t = jnp.full((1,), 0.5)
+    g = jnp.full((1,), 6.0) if cfg.guidance_embed else None
+    out = hunyuan_video_forward(
+        params, cfg, z, txt, pooled, t, g, text_mask=mask,
+        dtype=dtype or jnp.float32, remat=False,
+    )
+    return {"hunyuan_dit_out": out}
+
+
 def check_mochi(path: str, cfg=None, dtype=None):
     import jax
     import jax.numpy as jnp
@@ -297,6 +319,7 @@ CHECKS: Dict[str, Callable] = {
     "image_reward": check_image_reward,
     "hunyuan_llm": check_hunyuan_llm,
     "hunyuan_vae": check_hunyuan_vae,
+    "hunyuan_dit": check_hunyuan_dit,
     "mochi": check_mochi,
     "mochi_vae": check_mochi_vae,
 }
@@ -358,6 +381,8 @@ def main(argv=None):
     ap.add_argument("--image-reward-med-config")
     ap.add_argument("--hunyuan-llm")
     ap.add_argument("--hunyuan-vae")
+    ap.add_argument("--hunyuan-dit",
+                    help="HunyuanVideo transformer .pt file or directory")
     ap.add_argument("--mochi")
     ap.add_argument("--mochi-vae")
     args = ap.parse_args(argv)
@@ -373,7 +398,8 @@ def main(argv=None):
         ("flux_vae", "flux_vae"), ("t5", "t5"), ("clip_l", "clip_l"),
         ("hps", "hps"), ("pick_score", "pick_score"),
         ("clip_score", "clip_score"), ("hunyuan_llm", "hunyuan_llm"),
-        ("hunyuan_vae", "hunyuan_vae"), ("mochi", "mochi"),
+        ("hunyuan_vae", "hunyuan_vae"), ("hunyuan_dit", "hunyuan_dit"),
+        ("mochi", "mochi"),
         ("mochi_vae", "mochi_vae"),
     ]:
         v = getattr(args, flag)

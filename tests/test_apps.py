@@ -166,3 +166,48 @@ def test_preprocess_roundtrip_into_dataset(tmp_path):
     ds = LatentDataset(str(tmp_path / "c"))
     assert len(ds) == 5
     assert ds.get(4)["caption"] == "p4"
+
+
+def test_eval_rewards_gathers_all_host_shards(tmp_path):
+    """The summary must cover every host's shard, not rank 0's 1/N
+    (VERDICT r2 #6; reference gathers before means, eval_reward.py:231-276)."""
+    import json
+
+    from mixgrpo_tpu.eval_rewards import gather_result_shards, summarize
+
+    shard0 = [{"image": "a.png", "pick_score_reward": 1.0,
+               "pick_score_success": True}]
+    shard1 = [{"image": "b.png", "pick_score_reward": 3.0,
+               "pick_score_success": True},
+              {"image": "c.png", "pick_score_reward": 5.0,
+               "pick_score_success": True}]
+    with open(tmp_path / "rewards_0.json", "w") as f:
+        json.dump(shard0, f)
+    with open(tmp_path / "rewards_1.json", "w") as f:
+        json.dump(shard1, f)
+    all_rows = gather_result_shards(str(tmp_path))
+    assert len(all_rows) == 3
+    s = summarize(all_rows)
+    assert s["pick_score_count"] == 3
+    np.testing.assert_allclose(s["pick_score_mean"], (3.0 * 8 + 18) / 100)
+
+
+def test_eval_rewards_single_image_mode(tmp_path):
+    from PIL import Image
+
+    from mixgrpo_tpu.eval_rewards import score_single_image
+
+    arr = (np.random.default_rng(1).uniform(size=(16, 16, 3)) * 255).astype(
+        np.uint8)
+    path = tmp_path / "img.png"
+    Image.fromarray(arr).save(path)
+
+    class FakeReward:
+        def __call__(self, images, ps):
+            assert images.shape == (1, 16, 16, 3) and ps == ["a cat"]
+            return [float(images.mean())], [1.0]
+
+    out = score_single_image(str(path), "a cat", {"hpsv2": FakeReward()})
+    assert out["hpsv2_success"] is True
+    np.testing.assert_allclose(out["hpsv2_reward"], arr.mean() / 255.0,
+                               rtol=1e-3)

@@ -4,6 +4,8 @@ This is the multi-chip test story (SURVEY.md §4): real mesh-sharded
 programs compiled and executed on virtual devices.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,3 +108,85 @@ def test_sharded_grad_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(g1), np.asarray(g2), rtol=5e-4, atol=5e-5
         )
+
+
+_SPMD_PROBE = r"""
+import os
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from mixgrpo_tpu.models.flux import FluxConfig, init_flux
+from mixgrpo_tpu.parallel import (
+    MeshConfig, data_spec, make_mesh, set_activation_mesh, shard_params,
+)
+from mixgrpo_tpu.rl.ppo import PPOConfig
+from mixgrpo_tpu.sampler import FluxSampler
+from mixgrpo_tpu.solvers.rollout import SamplerConfig
+from mixgrpo_tpu.solvers.schedule import deterministic_mask, sigma_schedule
+from mixgrpo_tpu.trainer import build_update_batch, make_optimizer, make_update_fns
+
+mesh = make_mesh(MeshConfig(dp=2, fsdp=2, sp=1, tp=2))
+set_activation_mesh(mesh)
+cfg = FluxConfig.tiny()
+T, B = 4, 16
+sampler = FluxSampler(
+    cfg, SamplerConfig(num_steps_max=T, eta=0.7),
+    height=64, width=64, text_len=4, dtype=jnp.float32, attn_impl="xla",
+)
+params = shard_params(init_flux(jax.random.key(0), cfg), mesh)
+key = jax.random.key(1)
+txt = jax.device_put(
+    jax.random.normal(key, (B, 4, cfg.context_dim)), data_spec(mesh, 3))
+pooled = jax.device_put(
+    jax.random.normal(key, (B, cfg.pooled_dim)), data_spec(mesh, 2))
+sig = sigma_schedule(T, 3.0)
+det = deterministic_mask(T, [1, 2])
+z0 = jax.device_put(
+    sampler.init_noise(jax.random.key(2), B, same_noise_groups=4),
+    data_spec(mesh, 3))
+with mesh:
+    out = sampler.rollout(params, z0, txt, pooled, sig, det, T, jax.random.key(3))
+    adv = jnp.zeros((B,)) + 0.1
+    sample_idx = np.repeat(np.arange(B), 2)
+    t_idx = np.tile(np.asarray([1, 2]), B)
+    batch = build_update_batch(
+        out.all_latents, out.all_log_probs, adv, txt, pooled, sample_idx, t_idx)
+    opt = make_optimizer(learning_rate=1e-3)
+    update_step, _, _ = make_update_fns(
+        cfg, SamplerConfig(num_steps_max=T, eta=0.7), PPOConfig(), opt,
+        sampler.rope_cos, sampler.rope_sin, dtype=jnp.float32,
+        attn_impl="xla", remat=True,
+    )
+    opt_state = opt.init(params)
+    params, opt_state, m = update_step(params, opt_state, batch, jnp.asarray(sig))
+    print("PROBE_OK grad_norm=%.5f" % float(m["grad_norm"]))
+"""
+
+
+@pytest.mark.slow
+def test_no_involuntary_rematerialization_under_tp():
+    """The dp/fsdp/tp rollout+update must compile without SPMD falling back
+    to 'involuntary full rematerialization' on the joint-seq concat (the
+    round-2 dryrun warning).  The warning is emitted by XLA's C++ logger,
+    so it is checked on a subprocess's stderr."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["TF_CPP_MIN_LOG_LEVEL"] = "0"
+    r = subprocess.run(
+        [sys.executable, "-c", _SPMD_PROBE],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "PROBE_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
+    assert "Involuntary full rematerialization" not in r.stderr, (
+        "SPMD fell back to full rematerialization:\n" + r.stderr[-4000:]
+    )
