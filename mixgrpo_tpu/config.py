@@ -180,6 +180,11 @@ class RunConfig:
     # reference has no profiler hooks (SURVEY.md §5).
     profile_steps: int = 0
     profile_dir: Optional[str] = None  # default: <run_dir>/profile
+    # diffusers-layout safetensors export at each checkpoint:
+    #   auto     - try; warn ONCE per run with the reason if it fails
+    #   off      - never export
+    #   required - export failure is fatal (no silent skips)
+    export_safetensors: str = "auto"
     sp_size: int = 1
     train_sp_batch_size: int = 1
     fsdp_sharding_strategy: str = "full"

@@ -160,6 +160,7 @@ class GRPOTrainer:
             self._quantize = jax.jit(quantize_flux_params)
         elif cfg.grpo.rollout_quant != "none":
             raise ValueError(f"unknown rollout_quant {cfg.grpo.rollout_quant!r}")
+        self._export_warned = False  # set after a failed safetensors export
         self.window: SlidingWindowState = window_state_from_config(cfg)
         self.base_sigmas = sigma_schedule(cfg.grpo.sampling_steps, cfg.grpo.shift)
         self.global_step = 0
@@ -171,18 +172,42 @@ class GRPOTrainer:
         )
         self.run_dir = run_dir
         self.ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+        # wandb run id: generated once, persisted in args.json, reused on
+        # resume so the stream continues (train_grpo_flux.py:663-667,753-760)
+        self.wandb_run_id = self._load_or_create_run_id()
         self.metrics = MetricLogger(
-            run_dir, run_name=cfg.run.experiment_name, wandb_key=cfg.run.wandb_key
+            run_dir, run_name=cfg.run.experiment_name,
+            wandb_key=cfg.run.wandb_key, resume_id=self.wandb_run_id,
         )
         if jax.process_index() == 0:
+            import json as _json
+
             os.makedirs(run_dir, exist_ok=True)
+            blob = _json.loads(cfg.to_json())
+            blob["wandb_run_id"] = self.wandb_run_id
             with open(os.path.join(run_dir, "args.json"), "w") as f:
-                f.write(cfg.to_json())
+                _json.dump(blob, f, indent=2)
 
         if cfg.run.resume_from_checkpoint:
             self._resume()
 
     # ------------------------------------------------------------------
+
+    def _load_or_create_run_id(self) -> str:
+        """Reuse the persisted wandb run id when resuming, else mint one."""
+        import json as _json
+        import uuid
+
+        path = os.path.join(self.run_dir, "args.json")
+        if self.cfg.run.resume_from_checkpoint and os.path.exists(path):
+            try:
+                with open(path) as f:
+                    rid = _json.load(f).get("wandb_run_id")
+                if rid:
+                    return rid
+            except (OSError, ValueError) as e:
+                main_print(f"could not read wandb_run_id from args.json: {e}")
+        return uuid.uuid4().hex[:8]
 
     def _resume(self):
         tmpl = self.lora_factors if self.use_lora else self.params
@@ -463,7 +488,48 @@ class GRPOTrainer:
         metrics["cur_timestep"] = self.window.cur_timestep
         metrics["cur_iter_in_group"] = self.window.cur_iter_in_group
         metrics["sampling_time"] = sampling_time
+        self._dump_reward_stream(captions, rewards_dict, sd, rewards, metrics)
         return metrics
+
+    # ------------------------------------------------------------------
+
+    def _dump_reward_stream(self, captions, rewards_dict, sd, rewards, metrics):
+        """Append-only reward text streams (train_grpo_flux.py:427-437).
+
+        ``rewards.txt`` (process 0) mirrors the reference's per-step
+        per-model gathered means; ``rewards_samples_rank{p}.jsonl`` (every
+        process, its own prompt shard) additionally records each sample's
+        caption and raw per-model scores — the per-sample dump the
+        reference lacks, useful for spotting reward hacking.
+        """
+        try:
+            if jax.process_index() == 0:
+                with open(os.path.join(self.run_dir, "rewards.txt"), "a") as f:
+                    f.write(f"step {self.global_step}\n")
+                    for name in rewards_dict:
+                        f.write(f"{name}: {metrics[f'reward/{name}']}\n")
+                    f.write(f"reward: {metrics['reward']}\n")
+            import json as _json
+
+            path = os.path.join(
+                self.run_dir, f"rewards_samples_rank{jax.process_index()}.jsonl"
+            )
+            mixed = np.asarray(rewards).reshape(-1)
+            with open(path, "a") as f:
+                for i, cap in enumerate(captions):
+                    row = {
+                        "step": self.global_step,
+                        "caption": cap,
+                        "reward": float(mixed[i]) if i < len(mixed) else None,
+                    }
+                    for name, vals in rewards_dict.items():
+                        row[name] = float(np.asarray(vals).reshape(-1)[i])
+                        row[f"{name}_ok"] = float(
+                            np.asarray(sd[name]).reshape(-1)[i]
+                        )
+                    f.write(_json.dumps(row) + "\n")
+        except OSError as e:
+            main_print(f"reward stream write failed: {e}")
 
     # ------------------------------------------------------------------
 
@@ -586,7 +652,8 @@ class GRPOTrainer:
             ema_params=self.ema_params,
             blocking=blocking,
         )
-        if jax.process_index() == 0:
+        mode = self.cfg.run.export_safetensors
+        if jax.process_index() == 0 and mode != "off" and not self._export_warned:
             path = os.path.join(
                 self.run_dir, f"export_{self.global_step}",
                 "diffusion_pytorch_model.safetensors",
@@ -595,8 +662,24 @@ class GRPOTrainer:
                 export_flux_safetensors(
                     jax.device_get(self.params), self.flux_cfg, path
                 )
-            except Exception as e:  # export is best-effort at 12B on small hosts
-                main_print(f"safetensors export skipped: {e}")
+            except Exception as e:
+                if mode == "required":
+                    raise RuntimeError(
+                        f"safetensors export failed at step {self.global_step} "
+                        f"(--export_safetensors required): {e}"
+                    ) from e
+                # auto: warn loudly, once per run — the 12B fp32 gather can
+                # exceed small-host RAM, but skipping must not be silent
+                if not self._export_warned:
+                    self._export_warned = True
+                    import warnings
+
+                    warnings.warn(
+                        "diffusers safetensors export FAILED and will be "
+                        f"skipped for the rest of this run: {e!r}.  Pass "
+                        "--export_safetensors off to silence, or required "
+                        "to make this fatal; Orbax checkpoints are unaffected."
+                    )
         main_print(f"checkpoint saved at step {self.global_step}")
 
 

@@ -102,12 +102,62 @@ def test_train_two_steps_and_resume(tmp_path):
     assert np.isfinite(lines[0]["loss"])
     assert "reward/synthetic" in lines[0]
 
-    # resume: new trainer restores step + window
+    # per-step reward text streams (train_grpo_flux.py:427-437 + per-sample)
+    rtxt = open(os.path.join(trainer.run_dir, "rewards.txt")).read()
+    assert "step 1" in rtxt and "synthetic:" in rtxt and "reward:" in rtxt
+    rows = [
+        json.loads(l)
+        for l in open(os.path.join(trainer.run_dir, "rewards_samples_rank0.jsonl"))
+    ]
+    # 2 steps x (1 prompt x 4 generations) rows, each with caption + scores
+    assert len(rows) == 8
+    assert rows[0]["caption"].startswith("p")
+    assert np.isfinite(rows[0]["synthetic"]) and rows[0]["synthetic_ok"] == 1.0
+
+    # wandb run id persisted in args.json (train_grpo_flux.py:663-667)
+    args_blob = json.load(open(os.path.join(trainer.run_dir, "args.json")))
+    assert args_blob["wandb_run_id"] == trainer.wandb_run_id
+
+    # resume: new trainer restores step + window + wandb run id
     cfg2 = _make_cfg(tmp_path, steps=2)
     cfg2.run.resume_from_checkpoint = "latest"
     trainer2, _ = _build_trainer(tmp_path, cfg2)
     assert trainer2.global_step == 2
     assert trainer2.window.cur_timestep == trainer.window.cur_timestep
+    assert trainer2.wandb_run_id == trainer.wandb_run_id
+
+
+def test_export_safetensors_modes(tmp_path, monkeypatch):
+    """--export_safetensors auto warns ONCE on failure then skips; required
+    is fatal; off never exports (VERDICT r2 item 10: no silent skip)."""
+    cfg = _make_cfg(tmp_path, steps=1)
+    trainer, flux_cfg = _build_trainer(tmp_path, cfg)
+    trainer.save_checkpoint()
+    assert os.path.exists(os.path.join(
+        trainer.run_dir, "export_0", "diffusion_pytorch_model.safetensors"
+    ))
+
+    import mixgrpo_tpu.train as train_mod
+
+    def _boom(*a, **k):
+        raise MemoryError("host too small for fp32 gather")
+
+    monkeypatch.setattr(train_mod, "export_flux_safetensors", _boom)
+    trainer.global_step = 1
+    with pytest.warns(UserWarning, match="export FAILED"):
+        trainer.save_checkpoint()
+    trainer.global_step = 2
+    trainer.save_checkpoint()  # warned already: silent skip, no raise
+
+    trainer._export_warned = False
+    trainer.cfg.run.export_safetensors = "required"
+    trainer.global_step = 3
+    with pytest.raises(RuntimeError, match="export_safetensors required"):
+        trainer.save_checkpoint()
+
+    trainer.cfg.run.export_safetensors = "off"
+    trainer.global_step = 4
+    trainer.save_checkpoint()  # exporter never called -> no raise
 
 
 def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
