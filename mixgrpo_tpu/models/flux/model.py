@@ -145,6 +145,11 @@ def init_flux(key, cfg: FluxConfig) -> Dict[str, Any]:
 # ----------------------------------------------------------------------------
 
 
+# test hook: force the modular-gather virtual-depth path even when the
+# cycle count divides the stack depth (parity tests gather vs nested scan)
+_FORCE_GATHER = False
+
+
 def _split_heads(x, num_heads):
     b, s, _ = x.shape
     return x.reshape(b, s, num_heads, -1).transpose(0, 2, 1, 3)  # (B,H,S,D)
@@ -315,17 +320,34 @@ def flux_forward(
         kd = jax.tree.leaves(params["double"])[0].shape[0]
         ks = jax.tree.leaves(params["single"])[0].shape[0]
 
-        def double_cycle(carry, i):
-            p = jax.tree.map(lambda w: w[i % kd], params["double"])
-            return double_body(carry, p)
+        def cycle_scan(body, carry, stack, n, k):
+            """``n`` block applications cycling a ``k``-deep weight stack.
 
-        def single_cycle(carry, i):
-            p = jax.tree.map(lambda w: w[i % ks], params["single"])
-            return single_body(carry, p)
+            When k divides n, nest scans (outer over n//k cycles, inner over
+            the real stack) — no per-step modular weight gather, so the
+            rematerialized backward stays a plain scan transpose that the
+            compiler handles at full virtual depth (the ``w[i % k]``
+            dynamic-slice variant below blows up the remote compile service
+            when differentiated; see PERF.md round-2 notes).
+            """
+            if n % k == 0 and not _FORCE_GATHER:
+                def outer(c2, _):
+                    c3, _ = jax.lax.scan(body, c2, stack)
+                    return c3, None
 
-        (x, c), _ = jax.lax.scan(double_cycle, (x, c), jnp.arange(vd))
+                carry, _ = jax.lax.scan(outer, carry, None, length=n // k)
+                return carry
+
+            def gather_body(c2, i):
+                p = jax.tree.map(lambda w: w[i % k], stack)
+                return body(c2, p)
+
+            carry, _ = jax.lax.scan(gather_body, carry, jnp.arange(n))
+            return carry
+
+        (x, c) = cycle_scan(double_body, (x, c), params["double"], vd, kd)
         joint = jnp.concatenate([c, x], axis=1)
-        joint, _ = jax.lax.scan(single_cycle, joint, jnp.arange(vs))
+        joint = cycle_scan(single_body, joint, params["single"], vs, ks)
     x = joint[:, c.shape[1] :]
 
     scale, shift = L.modulation(params["final_mod"], vec, 2, dtype)

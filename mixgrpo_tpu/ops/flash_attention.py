@@ -164,6 +164,21 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kbias_ref,
         dq_ref[0] = (dq_scr[:] * 1.0).astype(dq_ref.dtype)
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _block_sizes(block_q, block_k, S, Sk):
+    """Clamp requested blocks to the sequence, then align to MXU tiling:
+    128-lane multiples on the key block, 16-sublane on the query block.
+    An unaligned full-K block (e.g. Sk=2537 at 720px) forces Mosaic
+    relayouts on every score tile; rounding up and masking the padded
+    keys (col < kv_len below) is strictly cheaper."""
+    bq = _round_up(min(block_q, S), 16)
+    bk = _round_up(min(block_k, Sk), 128)
+    return bq, bk
+
+
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
     if pad == 0:
@@ -176,7 +191,7 @@ def _pad_to(x, size, axis):
 def _fwd_impl(q, k, v, kbias, scale, block_q, block_k):
     B, H, S, D = q.shape
     Sk = k.shape[2]
-    bq, bk = min(block_q, S), min(block_k, Sk)
+    bq, bk = _block_sizes(block_q, block_k, S, Sk)
     Sp = pl.cdiv(S, bq) * bq
     Skp = pl.cdiv(Sk, bk) * bk
     qf = _pad_to(q.reshape(B * H, S, D), Sp, 1)
@@ -231,7 +246,7 @@ def _flash_bwd(scale, block_q, block_k, res, do):
     q, k, v, kbias, o, lse = res
     B, H, S, D = q.shape
     Sk = k.shape[2]
-    bq, bk = min(block_q, S), min(block_k, Sk)
+    bq, bk = _block_sizes(block_q, block_k, S, Sk)
     Sp = pl.cdiv(S, bq) * bq
     Skp = pl.cdiv(Sk, bk) * bk
 

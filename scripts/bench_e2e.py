@@ -54,11 +54,13 @@ def main():
                     help="comma list: rollout,vae,reward,update")
     ap.add_argument("--update_vd", default="19,38",
                     help="virtual depth (double,single) for the update "
-                         "phase; the full-depth fwd+bwd program exceeds "
-                         "the remote compile helper, so measure at a "
-                         "reduced depth and compose per-block (the same "
-                         "weight-cycling methodology the forward bench "
-                         "validates against full-depth measurement)")
+                         "phase.  Default = FULL depth: with the (1,2) "
+                         "weight stack the cycle counts divide the stack "
+                         "depths, so flux_forward uses nested scans (no "
+                         "per-step weight gather) and the rematerialized "
+                         "full-depth backward compiles — the round-2 "
+                         "crash was the modular gather inside the grad "
+                         "scan (PERF.md)")
     args = ap.parse_args()
     HEIGHT = args.height
     # "none": run the update at the model's REAL (2,4) depth with no
@@ -87,8 +89,12 @@ def main():
     from mixgrpo_tpu.trainer import UpdateBatch, make_optimizer, make_update_fns
 
     VD = (19, 38)
+    # stack (1,2): both full-depth cycle counts (19, 38) divide the stack
+    # depths -> nested-scan weight cycling in rollout AND update (the
+    # differentiable path).  Per-application compute and HBM weight
+    # streaming are identical to the earlier (2,4) stack.
     cfg = FluxConfig(in_channels=64, hidden_size=3072, num_heads=24,
-                     depth_double=2, depth_single=4, pooled_dim=768,
+                     depth_double=1, depth_single=2, pooled_dim=768,
                      context_dim=4096)
     params = jax.jit(lambda k: jax.tree.map(
         lambda x: x.astype(jnp.bfloat16), init_flux(k, cfg)))(jax.random.key(0))
@@ -264,7 +270,8 @@ def main():
         f"vae_decode_s_x{GROUP}": rnd(t_vae, 3),
         f"reward_vith_s_x{REWARD_B}": rnd(t_reward, 3),
         f"update_s_{PAIRS}pairs": rnd(t_update, 2),
-        "update_vd": list(upd_vd) if upd_vd else "real-depth-(2,4)",
+        "update_vd": list(upd_vd) if upd_vd else
+                     f"real-depth-({cfg.depth_double},{cfg.depth_single})",
         f"update_s_{PAIRS}pairs_fulldepth_composed": rnd(t_update_full, 2),
         "recipe_iteration_s": rnd(recipe_s, 1),
         "failed_phases": failures or None,

@@ -58,6 +58,23 @@ def test_backward_unaligned():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-4, atol=5e-5)
 
 
+def test_auto_fullk_block_aligned_unaligned_seq():
+    """Default block_k=None at an unaligned S (the 720px S=2537 case):
+    the full-K block is rounded up to a 128-lane multiple and padded keys
+    masked — values and grads must match XLA exactly."""
+    q, k, v = _rand_qkv(jax.random.key(7), 1, 2, 217, 64)
+    got = flash_attention(q, k, v)  # auto: full-K single pass, bk=256
+    want = _xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+    g1 = jax.grad(lambda *a: jnp.sum(flash_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(_xla_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
 def test_bf16_forward_close():
     q, k, v = _rand_qkv(jax.random.key(4), 1, 2, 128, 64, jnp.bfloat16)
     got = flash_attention(q, k, v, block_q=64, block_k=64).astype(jnp.float32)

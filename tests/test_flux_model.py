@@ -66,6 +66,52 @@ def test_jit_and_grad(tiny_setup):
     assert nonzero > len(leaves) * 0.9
 
 
+def test_virtual_depth_nested_scan_matches_gather(tiny_setup):
+    """When the virtual depth divides the stack depth, cycling uses nested
+    scans (no per-step weight gather — the differentiable full-depth bench
+    path); output must equal the modular-gather variant and, at the true
+    depth, the plain scan."""
+    cfg, params, args = tiny_setup
+    # (6, 8) divides the tiny stacks (2, 4): nested path
+    a = flux_forward(params, cfg, *args, dtype=jnp.float32, attn_impl="xla",
+                     virtual_depth=(6, 8))
+    # (6, 8) with a prime-ish offset forced through the gather path by
+    # making depths non-divisible is not constructible here; instead check
+    # the nested path at the TRUE depth equals no virtual_depth at all.
+    b = flux_forward(params, cfg, *args, dtype=jnp.float32, attn_impl="xla",
+                     virtual_depth=(cfg.depth_double, cfg.depth_single))
+    c = flux_forward(params, cfg, *args, dtype=jnp.float32, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(c), rtol=1e-5, atol=1e-5)
+    # gather path (non-divisible virtual depth) on the same weights: one
+    # extra double application vs `a` must CHANGE the output (sanity that
+    # both paths actually execute the requested counts)
+    d = flux_forward(params, cfg, *args, dtype=jnp.float32, attn_impl="xla",
+                     virtual_depth=(7, 8))
+    assert not np.allclose(np.asarray(a), np.asarray(d))
+    # and the nested path is differentiable end-to-end (the round-2
+    # compile-helper failure mode was the gather inside the remat backward)
+    g = jax.grad(lambda p: jnp.mean(flux_forward(
+        p, cfg, *args, dtype=jnp.float32, attn_impl="xla", remat=True,
+        virtual_depth=(6, 8)) ** 2))(params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_virtual_depth_gather_vs_nested_same_counts(tiny_setup, monkeypatch):
+    """Gather path at a divisible count must equal the nested path (same
+    weights, identical block application order i % k)."""
+    cfg, params, args = tiny_setup
+    from mixgrpo_tpu.models.flux import model as M
+
+    nested = flux_forward(params, cfg, *args, dtype=jnp.float32,
+                          attn_impl="xla", virtual_depth=(4, 8))
+    monkeypatch.setattr(M, "_FORCE_GATHER", True)
+    gather = flux_forward(params, cfg, *args, dtype=jnp.float32,
+                          attn_impl="xla", virtual_depth=(4, 8))
+    np.testing.assert_allclose(
+        np.asarray(nested), np.asarray(gather), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_timestep_changes_output(tiny_setup):
     cfg, params, (img, txt, pooled, t, g, cos, sin) = tiny_setup
     a = flux_forward(params, cfg, img, txt, pooled, t, g, cos, sin,
