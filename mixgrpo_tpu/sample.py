@@ -74,6 +74,7 @@ class DualFluxPipeline:
         dtype=jnp.bfloat16,
         attn_impl: str = "auto",
         quant: str = "none",
+        virtual_depth=None,  # benchmark aid: see flux_forward docstring
     ):
         self.flux_cfg = flux_cfg
         if quant == "int8":  # ~2x sampling throughput on TPU (ops/quant.py)
@@ -100,14 +101,15 @@ class DualFluxPipeline:
         self._seg1 = (
             FluxSampler(flux_cfg, scfg(self.mix_k), height=height, width=width,
                         text_len=text_len, guidance_scale=guidance_scale,
-                        dtype=dtype, attn_impl=attn_impl)
+                        dtype=dtype, attn_impl=attn_impl,
+                        virtual_depth=virtual_depth)
             if self.mix_k > 0 else None
         )
         self._seg2 = (
             FluxSampler(flux_cfg, scfg(num_steps - self.mix_k), height=height,
                         width=width, text_len=text_len,
                         guidance_scale=guidance_scale, dtype=dtype,
-                        attn_impl=attn_impl)
+                        attn_impl=attn_impl, virtual_depth=virtual_depth)
             if num_steps - self.mix_k > 0 else None
         )
         self._decode = jax.jit(self._decode_impl) if vae_params is not None else None

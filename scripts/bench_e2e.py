@@ -61,6 +61,15 @@ def main():
                          "full-depth backward compiles — the round-2 "
                          "crash was the modular gather inside the grad "
                          "scan (PERF.md)")
+    ap.add_argument("--pairs", type=int, default=PAIRS,
+                    help="(sample,timestep) pairs per fused update "
+                         "microbatch — the MFU lever: more rows amortize "
+                         "optimizer + per-block overhead")
+    ap.add_argument("--remat", default="dots",
+                    choices=["dots", "full", "none"],
+                    help="update-phase checkpoint policy: dots = keep "
+                         "profitable dot results, full = recompute "
+                         "everything, none = no remat (slice depths only)")
     args = ap.parse_args()
     HEIGHT = args.height
     # "none": run the update at the model's REAL (2,4) depth with no
@@ -206,23 +215,26 @@ def main():
     phase("reward", run_reward)
 
     # ---- PPO update: one fused PAIRS-row fwd+bwd + apply
+    pairs = args.pairs
+    remat = {"dots": "dots", "full": True, "none": False}[args.remat]
+
     def run_update():
         opt = make_optimizer(learning_rate=1e-5)
         opt_state = opt.init(params)
         update_step, _, _ = make_update_fns(
             cfg, scfg, PPOConfig(clip_range=1e-4, adv_clip_max=5.0), opt,
-            sampler.rope_cos, sampler.rope_sin, remat="dots",
+            sampler.rope_cos, sampler.rope_sin, remat=remat,
             virtual_depth=upd_vd,
         )
-        # PAIRS (sample, timestep) rows drawn from the GROUP rollouts
-        s_idx = np.arange(PAIRS) % GROUP
-        t_idx = WINDOW[0] + (np.arange(PAIRS) // GROUP) % (WINDOW[1] - WINDOW[0])
+        # pairs (sample, timestep) rows drawn from the GROUP rollouts
+        s_idx = np.arange(pairs) % GROUP
+        t_idx = WINDOW[0] + (np.arange(pairs) // GROUP) % (WINDOW[1] - WINDOW[0])
         batch = UpdateBatch(
             latents=out.all_latents[s_idx, t_idx],
             next_latents=out.all_latents[s_idx, t_idx + 1],
             t_index=jnp.asarray(t_idx, jnp.int32),
             old_log_probs=out.all_log_probs[s_idx, t_idx],
-            advantages=jnp.ones((PAIRS,), jnp.float32),
+            advantages=jnp.ones((pairs,), jnp.float32),
             txt=txt[s_idx], pooled=pooled[s_idx],
         )
         sig_dev = jnp.asarray(sigmas, jnp.float32)
@@ -258,7 +270,7 @@ def main():
             t_rollout * (RECIPE_GROUP / GROUP)
             + t_vae * (RECIPE_GROUP / GROUP)
             + t_reward * (RECIPE_GROUP / REWARD_B)
-            + t_update_full * (RECIPE_PAIRS / PAIRS)
+            + t_update_full * (RECIPE_PAIRS / pairs)
         )
     rnd = lambda v, p: None if v is None else round(v, p)
     print(json.dumps({
@@ -269,10 +281,11 @@ def main():
         f"rollout_s_group{GROUP}": rnd(t_rollout, 2),
         f"vae_decode_s_x{GROUP}": rnd(t_vae, 3),
         f"reward_vith_s_x{REWARD_B}": rnd(t_reward, 3),
-        f"update_s_{PAIRS}pairs": rnd(t_update, 2),
+        f"update_s_{pairs}pairs": rnd(t_update, 2),
         "update_vd": list(upd_vd) if upd_vd else
                      f"real-depth-({cfg.depth_double},{cfg.depth_single})",
-        f"update_s_{PAIRS}pairs_fulldepth_composed": rnd(t_update_full, 2),
+        "update_remat": args.remat,
+        f"update_s_{pairs}pairs_fulldepth_composed": rnd(t_update_full, 2),
         "recipe_iteration_s": rnd(recipe_s, 1),
         "failed_phases": failures or None,
         "recipe": "G=12, 25 steps, window 4, 48-pair update — composed from"

@@ -1,13 +1,23 @@
 """Serving demo/bench on the real chip: concurrent HTTP clients against
 the batched inference server (mixgrpo_tpu/serve.py).
 
-Uses a reduced FLUX (full 128 head_dim, hidden 512) at 256px so the
-one-time remote compile is small; the serving mechanics measured — fixed
-compiled batch, micro-batch co-scheduling, per-request seed noise rows —
-are exactly the production path.  Prints one JSON line with throughput
-and batching stats.  Run: python scripts/bench_serve.py
+Two modes:
+  --mode toy (default): reduced FLUX (hidden 512) at 256px / 8 steps —
+    small one-time remote compile; exercises the serving mechanics
+    (fixed compiled batch, micro-batch co-scheduling, per-request seed
+    noise rows) that are exactly the production path.
+  --mode recipe: the reference inference recipe shape
+    (scripts/inference/inference_flux.sh:28-30): FLUX-dev full width at
+    full depth (weight-cycled, see flux_forward virtual_depth), 1024px,
+    50 steps, mixed-model switch at mix_sampling_steps=30 (tuned
+    transformer for the first 30 steps, base for the last 20 —
+    sample_flux.py:319-342).  Reports req/s and p50/p95 latency.
+    Optional --quant int8.
+
+Prints one JSON line.  Run: python scripts/bench_serve.py [--mode recipe]
 """
 
+import argparse
 import json
 import sys
 import threading
@@ -18,6 +28,14 @@ sys.path.insert(0, ".")
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="toy", choices=["toy", "recipe"])
+    ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--requests", type=int, default=None,
+                    help="concurrent client requests (default 16 toy / 8 recipe)")
+    ap.add_argument("--batch", type=int, default=4)
+    args = ap.parse_args()
+
     import bench
 
     bench._enable_compile_cache()
@@ -31,20 +49,38 @@ def main():
         InferenceServer, RequestBatcher, make_generate_fn,
     )
 
-    cfg = FluxConfig(in_channels=64, hidden_size=512, num_heads=4,
-                     depth_double=1, depth_single=2, pooled_dim=64,
-                     context_dim=64)
-    base = init_flux(jax.random.key(0), cfg)
-    BATCH, STEPS, N_REQ = 4, 8, 16
+    if args.mode == "toy":
+        cfg = FluxConfig(in_channels=64, hidden_size=512, num_heads=4,
+                         depth_double=1, depth_single=2, pooled_dim=64,
+                         context_dim=64)
+        HEIGHT, STEPS, MIX, TEXT_LEN, vd = 256, 8, 0, 16, None
+        n_req = args.requests or 16
+    else:
+        # full width; full 19/38 depth on-chip by nested-scan weight
+        # cycling over a (1,2) resident stack (bench_e2e.py methodology)
+        cfg = FluxConfig(in_channels=64, hidden_size=3072, num_heads=24,
+                         depth_double=1, depth_single=2, pooled_dim=768,
+                         context_dim=4096)
+        HEIGHT, STEPS, MIX, TEXT_LEN, vd = 1024, 50, 30, 512, (19, 38)
+        n_req = args.requests or 8
+    BATCH = args.batch
+
+    base = jax.jit(lambda k: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), init_flux(k, cfg)))(jax.random.key(0))
+    # recipe mode switches models mid-trajectory like the reference's
+    # DualFluxPipeline — the "tuned" weights here are a second copy (the
+    # compute path, not the score, is what is timed)
+    tuned = base if MIX > 0 else None
     pipe = DualFluxPipeline(
-        cfg, base, None, height=256, width=256, num_steps=STEPS,
-        text_len=16, dtype=jnp.bfloat16, attn_impl="auto",
+        cfg, base, tuned, height=HEIGHT, width=HEIGHT, num_steps=STEPS,
+        mix_sampling_steps=MIX, text_len=TEXT_LEN, dtype=jnp.bfloat16,
+        attn_impl="auto", quant=args.quant, virtual_depth=vd,
     )
 
     def encode(prompts):
         txt = np.stack([
             np.random.default_rng(abs(hash(p)) % 2**31)
-            .normal(size=(16, cfg.context_dim)) for p in prompts
+            .normal(size=(TEXT_LEN, cfg.context_dim)) for p in prompts
         ]).astype(np.float32)
         pooled = np.stack([
             np.random.default_rng(abs(hash(p)) % 2**31)
@@ -55,6 +91,8 @@ def main():
     batcher = RequestBatcher(
         make_generate_fn(pipe, encode), batch_size=BATCH, max_wait_ms=100.0
     )
+    lat_lock = threading.Lock()
+    latencies = []
     with InferenceServer(batcher, host="127.0.0.1", port=0) as srv:
         # warm: compile the rollout + noise programs
         t0 = time.time()
@@ -67,13 +105,16 @@ def main():
                 data=json.dumps({"prompt": f"p{i % 6}", "seed": i}).encode(),
                 headers={"Content-Type": "application/json"},
             )
-            with urllib.request.urlopen(req, timeout=600) as r:
+            t1 = time.time()
+            with urllib.request.urlopen(req, timeout=3000) as r:
                 assert r.status == 200
                 r.read()
+            with lat_lock:
+                latencies.append(time.time() - t1)
 
         t0 = time.time()
         threads = [
-            threading.Thread(target=call, args=(i,)) for i in range(N_REQ)
+            threading.Thread(target=call, args=(i,)) for i in range(n_req)
         ]
         for t in threads:
             t.start()
@@ -82,17 +123,28 @@ def main():
         wall = time.time() - t0
         stats = dict(batcher.stats)
 
+    lat = np.sort(np.asarray(latencies))
     print(json.dumps({
-        "metric": "serve_requests_per_sec_reduced_flux_256px",
-        "requests": N_REQ,
+        "metric": (
+            "serve_requests_per_sec_reduced_flux_256px" if args.mode == "toy"
+            else "serve_requests_per_sec_fluxdev_fulldepth_1024px_50step"
+        ),
+        "quant": args.quant,
+        "requests": n_req,
         "wall_s": round(wall, 2),
-        "req_per_s": round(N_REQ / wall, 2),
+        "req_per_s": round(n_req / wall, 3),
+        "latency_p50_s": round(float(lat[len(lat) // 2]), 2),
+        "latency_p95_s": round(float(lat[min(len(lat) - 1, int(len(lat) * 0.95))]), 2),
         "batches": stats["batches"],
         "padded_rows": stats["padded_rows"],
         "errors": stats["errors"],
         "compile_plus_first_s": round(t_compile, 1),
-        "note": f"batch={BATCH}, {STEPS}-step latent-only pipeline; "
-                "mechanics (co-batching, seed rows) are the production path",
+        "note": (
+            f"batch={BATCH}, {STEPS}-step latent-only pipeline"
+            + (f", mixed-model switch at step {MIX} (inference_flux.sh:28-30)"
+               if MIX else "")
+            + "; mechanics (co-batching, seed rows) are the production path"
+        ),
     }))
 
 
