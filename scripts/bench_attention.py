@@ -1,0 +1,109 @@
+"""Pallas flash-attention block-size sweep on the real chip.
+
+Round-3 (VERDICT r2 item 3): retune block_q / block_k at the recipe
+shapes — S=1536 (512px), S=2537 (720px, lane-UNALIGNED joint sequence),
+S=2560 (the 128-aligned target), S=4608 (1024px) — after the kernel
+started rounding the full-K block up to a 128-lane multiple.  Measures
+forward and forward+backward per (S, block_q, block_k) and the XLA
+reference, using bench.py timing conventions (chained fori_loop +
+scalar fetch; slope over two loop lengths cancels tunnel overhead).
+
+Run: python scripts/bench_attention.py [--seqs 1536,2537,2560] [--bwd]
+Prints one JSON line per configuration.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seqs", default="1536,2537,2560,4608")
+    ap.add_argument("--block_q", default="256,512,1024")
+    ap.add_argument("--block_k", default="full,1024",
+                    help="'full' = auto single-pass full-K")
+    ap.add_argument("--bwd", action="store_true", help="also time fwd+bwd")
+    ap.add_argument("--xla", action="store_true", help="also time XLA attention")
+    ap.add_argument("--n", type=int, default=8, help="timing loop length")
+    args = ap.parse_args()
+
+    import bench
+
+    bench._enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from mixgrpo_tpu.ops.attention import _xla_attention
+    from mixgrpo_tpu.ops.flash_attention import flash_attention
+
+    B, H, D = 1, 24, 128
+    peak = 197e12
+
+    def timed(fn, q, k, v, n):
+        @jax.jit
+        def run(q, k, v, m):
+            def body(i, q):
+                o = fn(q, k, v)
+                return q + o.astype(q.dtype) * jnp.bfloat16(1e-6)
+            return jax.lax.fori_loop(0, m, body, q).astype(jnp.float32).mean()
+
+        float(run(q, k, v, 1))  # compile + warm
+        t0 = time.time(); float(run(q, k, v, 0)); base = time.time() - t0
+        t0 = time.time(); float(run(q, k, v, n)); t1 = time.time() - t0
+        t0 = time.time(); float(run(q, k, v, 2 * n)); t2 = time.time() - t0
+        return (t2 - base) / (2 * n)
+
+    def timed_bwd(fn, q, k, v, n):
+        g = jax.grad(lambda q, k, v: jnp.sum(fn(q, k, v) ** 2), (0, 1, 2))
+
+        @jax.jit
+        def run(q, k, v, m):
+            def body(i, q):
+                dq, dk, dv = g(q, k, v)
+                return q + dq.astype(q.dtype) * jnp.bfloat16(1e-6)
+            return jax.lax.fori_loop(0, m, body, q).astype(jnp.float32).mean()
+
+        float(run(q, k, v, 1))
+        t0 = time.time(); float(run(q, k, v, 0)); base = time.time() - t0
+        t0 = time.time(); float(run(q, k, v, n)); t1 = time.time() - t0
+        t0 = time.time(); float(run(q, k, v, 2 * n)); t2 = time.time() - t0
+        return (t2 - base) / (2 * n)
+
+    for S in (int(s) for s in args.seqs.split(",")):
+        ks = jax.random.split(jax.random.key(S), 3)
+        q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.bfloat16)
+                   for kk in ks)
+        flops_fwd = 4 * B * H * S * S * D  # qk^T + pv
+        rows = []
+        if args.xla:
+            t = timed(lambda q, k, v: _xla_attention(q, k, v), q, k, v, args.n)
+            rows.append({"impl": "xla", "fwd_ms": round(t * 1e3, 3),
+                         "fwd_tfs": round(flops_fwd / t / 1e12, 1)})
+            if args.bwd:
+                tb = timed_bwd(lambda q, k, v: _xla_attention(q, k, v),
+                               q, k, v, args.n)
+                rows[-1]["fwdbwd_ms"] = round(tb * 1e3, 3)
+        for bq in (int(x) for x in args.block_q.split(",")):
+            for bk_s in args.block_k.split(","):
+                bk = None if bk_s == "full" else int(bk_s)
+                fn = lambda q, k, v, bq=bq, bk=bk: flash_attention(
+                    q, k, v, block_q=bq, block_k=bk)
+                t = timed(fn, q, k, v, args.n)
+                row = {"impl": f"pallas bq={bq} bk={bk_s}",
+                       "fwd_ms": round(t * 1e3, 3),
+                       "fwd_tfs": round(flops_fwd / t / 1e12, 1),
+                       "fwd_mfu": round(flops_fwd / t / peak, 3)}
+                if args.bwd:
+                    tb = timed_bwd(fn, q, k, v, args.n)
+                    row["fwdbwd_ms"] = round(tb * 1e3, 3)
+                    row["fwdbwd_tfs"] = round(3.5 * flops_fwd / tb / 1e12, 1)
+                rows.append(row)
+        print(json.dumps({"S": S, "rows": rows}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
