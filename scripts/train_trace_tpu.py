@@ -35,7 +35,14 @@ def main():
     ap.add_argument("--ckpt_every", type=int, default=20)
     ap.add_argument("--profile_steps", type=int, default=2)
     ap.add_argument("--attn", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke mode: tiny model, validates the script "
+                         "end-to-end without a chip")
     args = ap.parse_args()
+    if args.tiny:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     import bench
 
@@ -60,20 +67,26 @@ def main():
     from mixgrpo_tpu.train import GRPOTrainer
 
     platform = jax.devices()[0].platform
-    flux_cfg = FluxConfig(in_channels=64, hidden_size=3072, num_heads=24,
-                          depth_double=1, depth_single=2, pooled_dim=768,
-                          context_dim=4096)
-    vae_cfg = VAEConfig.flux_dev()
+    if args.tiny:
+        flux_cfg = FluxConfig.tiny()
+        vae_cfg = VAEConfig.tiny(latent_channels=flux_cfg.in_channels // 4)
+    else:
+        flux_cfg = FluxConfig(in_channels=64, hidden_size=3072, num_heads=24,
+                              depth_double=1, depth_single=2, pooled_dim=768,
+                              context_dim=4096)
+        vae_cfg = VAEConfig.flux_dev()
     vae_params = jax.jit(lambda k: jax.tree.map(
         lambda x: x.astype(jnp.bfloat16), init_vae_decoder(k, vae_cfg))
     )(jax.random.key(5))
 
+    HW = 64 if args.tiny else 512
+    TEXT_LEN = 8 if args.tiny else 512
     cfg = TrainConfig(
         data=DataConfig(data_json_path=f"{args.tmp}/cache", train_batch_size=1),
         optim=OptimConfig(max_train_steps=args.iters,
                           gradient_accumulation_steps=4,
                           learning_rate=args.lr, gradient_checkpointing=True),
-        grpo=GRPOConfig(h=512, w=512, sampling_steps=args.steps,
+        grpo=GRPOConfig(h=HW, w=HW, sampling_steps=args.steps,
                         num_generations=4, use_group=True,
                         init_same_noise=True, training_strategy="part",
                         advantage_rerange_strategy="balance",
@@ -91,7 +104,8 @@ def main():
     # Real ViT-H/14 CLIP reward tower (the HPS/PickScore/CLIP-score
     # architecture, models/text/clip.py): score = cosine(image feature,
     # fixed seeded "prompt" feature).  Random weights: production compute.
-    ccfg = CLIPConfig.vit_h_14()
+    ccfg = CLIPConfig.tiny() if args.tiny else CLIPConfig.vit_h_14()
+    CLIP_RES = ccfg.vision.image_size
     cparams = jax.jit(lambda k: jax.tree.map(
         lambda x: x.astype(jnp.bfloat16), init_clip(k, ccfg)))(jax.random.key(9))
     txt_feat = jax.random.normal(jax.random.key(10), (ccfg.embed_dim,))
@@ -100,7 +114,7 @@ def main():
     @jax.jit
     def clip_score(images01):
         B = images01.shape[0]
-        x = jax.image.resize(images01, (B, 224, 224, 3), "bilinear")
+        x = jax.image.resize(images01, (B, CLIP_RES, CLIP_RES, 3), "bilinear")
         f = clip_image_features(cparams, ccfg, x, dtype=jnp.bfloat16)
         f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
         return f @ txt_feat.astype(f.dtype)
@@ -111,8 +125,8 @@ def main():
 
     trainer = GRPOTrainer(
         cfg, flux_cfg=flux_cfg, vae_cfg=vae_cfg, vae_params=vae_params,
-        reward_fn=reward_fn, text_len=512, attn_impl=args.attn,
-        dtype=jnp.bfloat16,
+        reward_fn=reward_fn, text_len=TEXT_LEN, attn_impl=args.attn,
+        dtype=jnp.float32 if args.tiny else jnp.bfloat16,
     )
     trainer.reward_weights = {"clip_vith": 1.0}
 
@@ -120,7 +134,7 @@ def main():
         w = EmbeddingCacheWriter(f"{args.tmp}/cache")
         rng = np.random.default_rng(0)
         for i in range(4):
-            w.add(rng.normal(size=(512, flux_cfg.context_dim)).astype(np.float32),
+            w.add(rng.normal(size=(TEXT_LEN, flux_cfg.context_dim)).astype(np.float32),
                   rng.normal(size=(flux_cfg.pooled_dim,)).astype(np.float32),
                   f"p{i}")
         w.finish()
@@ -140,13 +154,16 @@ def main():
     ckpt_steps = [r["step"] for r in rows
                   if r["step"] > 0 and r["step"] % args.ckpt_every == 0]
     # async checkpoint overlap: step_time at checkpoint steps vs the rest
+    # (warmup steps < 3 still hit one-time compiles; exclude from both)
     t_at_ckpt = [r["step_time"] for r in rows
-                 if "step_time" in r and r["step"] in ckpt_steps]
+                 if "step_time" in r and r["step"] in ckpt_steps
+                 and r["step"] >= 3]
     t_not = [r["step_time"] for r in rows
-             if "step_time" in r and r["step"] not in ckpt_steps and r["step"] >= 2]
+             if "step_time" in r and r["step"] not in ckpt_steps and r["step"] >= 3]
     prof_dir = os.path.join(trainer.run_dir, "profile")
     print(json.dumps({
-        "metric": "grpo_training_trace_512px_width3072_depth(1,2)",
+        "metric": ("grpo_training_trace_tiny_cpu_smoke" if args.tiny else
+                   "grpo_training_trace_512px_width3072_depth(1,2)"),
         "platform": platform,
         "attn": args.attn,
         "iters": len(rewards),
