@@ -1,0 +1,59 @@
+#!/usr/bin/env bash
+# Round-3 on-chip measurement campaign (VERDICT r2 items 1, 3, 8, 9).
+# Runs every bench in sequence, tolerating per-phase failures, writing
+# outputs under bench_results/round3/.  Designed to be launched once the
+# axon tunnel is healthy and left unattended (each step bounded).
+#
+#   bash scripts/run_round3_campaign.sh [results_dir]
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-bench_results/round3}"
+mkdir -p "$OUT"
+log() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$OUT/campaign.log"; }
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name="$1" t="$2"; shift 2
+  log "=== $name: $*"
+  timeout "$t" "$@" >"$OUT/$name.json" 2>"$OUT/$name.err"
+  local rc=$?
+  log "=== $name done rc=$rc"
+  tail -c 600 "$OUT/$name.json" | tee -a "$OUT/campaign.log"
+}
+
+# 0. tunnel probe — abort early if wedged
+timeout 90 python -c 'import jax,jax.numpy as jnp; x=jnp.ones((256,256))@jnp.ones((256,256)); print("TUNNEL_OK", float(x.sum()))' \
+  || { log "tunnel wedged; aborting"; exit 1; }
+
+# 1. headline (warms the compile cache; kernel alignment is a no-op at
+#    the already-aligned S=1536)
+run headline 1200 python bench.py
+
+# 2. attention block sweep at the recipe shapes (validates the 128-align
+#    fix at the unaligned 720px S=2537)
+run attn_sweep 2400 python scripts/bench_attention.py \
+    --seqs 1536,2537,2560,4608 --block_q 256,512 --block_k full --bwd --xla
+
+# 3. 720px full-depth rollout forward (item 3: want <= ~262 ms/fwd)
+run rollout_720 2400 python scripts/bench_e2e.py --height 720 --phases rollout
+
+# 4. THE measurement: full-depth (19,38) PPO update, nested-scan cycling
+run update_full_512 2400 python scripts/bench_e2e.py \
+    --phases update --update_vd 19,38 --remat full --pairs 4
+run update_full_512_p8 2400 python scripts/bench_e2e.py \
+    --phases update --update_vd 19,38 --remat full --pairs 8
+run update_full_720 2400 python scripts/bench_e2e.py --height 720 \
+    --phases update --update_vd 19,38 --remat full --pairs 4
+
+# 5. full e2e composition with the measured full-depth update
+run e2e_512 3000 python scripts/bench_e2e.py --update_vd 19,38 --remat full
+run e2e_720 3000 python scripts/bench_e2e.py --height 720 \
+    --update_vd 19,38 --remat full
+
+# 6. serving at the reference inference recipe shape (item 8)
+run serve_recipe 3600 python scripts/bench_serve.py --mode recipe
+run serve_recipe_int8 3600 python scripts/bench_serve.py --mode recipe --quant int8
+
+# 7. 50-iteration production-loop trace (item 9)
+run train_trace 5400 python scripts/train_trace_tpu.py --iters 50
+
+log "campaign complete"
