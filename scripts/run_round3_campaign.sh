@@ -1,8 +1,9 @@
 #!/usr/bin/env bash
 # Round-3 on-chip measurement campaign (VERDICT r2 items 1, 3, 8, 9).
-# Runs every bench in sequence, tolerating per-phase failures, writing
-# outputs under bench_results/round3/.  Designed to be launched once the
-# axon tunnel is healthy and left unattended (each step bounded).
+# Resumable: phases whose .json already contains a result are skipped, so
+# the tunnel watchdog can relaunch after a mid-campaign wedge and only the
+# remaining phases run.  Probes the tunnel between phases and exits 1 when
+# it wedges (the watchdog retries later).
 #
 #   bash scripts/run_round3_campaign.sh [results_dir]
 set -u
@@ -11,18 +12,31 @@ OUT="${1:-bench_results/round3}"
 mkdir -p "$OUT"
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$OUT/campaign.log"; }
 
-run() { # run <name> <timeout_s> <cmd...>
-  local name="$1" t="$2"; shift 2
-  log "=== $name: $*"
-  timeout "$t" "$@" >"$OUT/$name.json" 2>"$OUT/$name.err"
-  local rc=$?
-  log "=== $name done rc=$rc"
-  tail -c 600 "$OUT/$name.json" | tee -a "$OUT/campaign.log"
+probe() {
+  timeout 90 python -c 'import jax,jax.numpy as jnp; x=jnp.ones((256,256))@jnp.ones((256,256)); print(float(x.sum()))' >/dev/null 2>&1
 }
 
-# 0. tunnel probe — abort early if wedged
-timeout 90 python -c 'import jax,jax.numpy as jnp; x=jnp.ones((256,256))@jnp.ones((256,256)); print("TUNNEL_OK", float(x.sum()))' \
-  || { log "tunnel wedged; aborting"; exit 1; }
+run() { # run <name> <timeout_s> <cmd...>
+  local name="$1" t="$2"; shift 2
+  if [ -s "$OUT/$name.json" ] && grep -q '"' "$OUT/$name.json"; then
+    log "=== $name: already measured, skipping"
+    return 0
+  fi
+  probe || { log "tunnel wedged before $name; aborting (resumable)"; exit 1; }
+  log "=== $name: $*"
+  timeout "$t" "$@" >"$OUT/$name.json.tmp" 2>"$OUT/$name.err"
+  local rc=$?
+  if [ $rc -eq 0 ] && [ -s "$OUT/$name.json.tmp" ]; then
+    mv "$OUT/$name.json.tmp" "$OUT/$name.json"
+  else
+    log "=== $name FAILED rc=$rc (stderr tail follows)"
+    tail -c 400 "$OUT/$name.err" | tee -a "$OUT/campaign.log"
+    rm -f "$OUT/$name.json.tmp"
+  fi
+  log "=== $name done rc=$rc"
+  [ -f "$OUT/$name.json" ] && tail -c 600 "$OUT/$name.json" | tee -a "$OUT/campaign.log"
+  return 0
+}
 
 # 1. headline (warms the compile cache; kernel alignment is a no-op at
 #    the already-aligned S=1536)
