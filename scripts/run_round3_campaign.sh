@@ -38,21 +38,21 @@ run() { # run <name> <timeout_s> <cmd...>
   return 0
 }
 
+# Ordered by VERDICT priority — tunnel-healthy windows are short and the
+# campaign resumes, so the critical measurements go first.
+
 # 1. headline (warms the compile cache; kernel alignment is a no-op at
 #    the already-aligned S=1536)
 run headline 1200 python bench.py
 
-# 2. attention block sweep at the recipe shapes (validates the 128-align
-#    fix at the unaligned 720px S=2537)
-run attn_sweep 2400 python scripts/bench_attention.py \
-    --seqs 1536,2537,2560,4608 --block_q 256,512 --block_k full --bwd --xla
+# 2. THE measurement (item 1): full-depth (19,38) PPO update, nested-scan
+run update_full_512 2400 python scripts/bench_e2e.py \
+    --phases update --update_vd 19,38 --remat full --pairs 4
 
 # 3. 720px full-depth rollout forward (item 3: want <= ~262 ms/fwd)
 run rollout_720 2400 python scripts/bench_e2e.py --height 720 --phases rollout
 
-# 4. THE measurement: full-depth (19,38) PPO update, nested-scan cycling
-run update_full_512 2400 python scripts/bench_e2e.py \
-    --phases update --update_vd 19,38 --remat full --pairs 4
+# 4. update MFU levers + 720px update
 run update_full_512_p8 2400 python scripts/bench_e2e.py \
     --phases update --update_vd 19,38 --remat full --pairs 8
 run update_full_720 2400 python scripts/bench_e2e.py --height 720 \
@@ -63,11 +63,16 @@ run e2e_512 3000 python scripts/bench_e2e.py --update_vd 19,38 --remat full
 run e2e_720 3000 python scripts/bench_e2e.py --height 720 \
     --update_vd 19,38 --remat full
 
-# 6. serving at the reference inference recipe shape (item 8)
+# 6. attention block sweep at the 720px shapes (validates the 128-align
+#    fix at the unaligned S=2537; XLA/other shapes already in PERF.md)
+run attn_sweep 2400 python scripts/bench_attention.py \
+    --seqs 2537,2560 --block_q 512 --block_k full --bwd
+
+# 7. serving at the reference inference recipe shape (item 8)
 run serve_recipe 3600 python scripts/bench_serve.py --mode recipe
 run serve_recipe_int8 3600 python scripts/bench_serve.py --mode recipe --quant int8
 
-# 7. 50-iteration production-loop trace (item 9)
+# 8. 50-iteration production-loop trace (item 9)
 run train_trace 5400 python scripts/train_trace_tpu.py --iters 50
 
 log "campaign complete"
