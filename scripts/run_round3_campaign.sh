@@ -18,7 +18,8 @@ probe() {
 
 run() { # run <name> <timeout_s> <cmd...>
   local name="$1" t="$2"; shift 2
-  if [ -s "$OUT/$name.json" ] && grep -q '"' "$OUT/$name.json"; then
+  if [ -s "$OUT/$name.json" ] && grep -q '"' "$OUT/$name.json" \
+     && ! grep -q '"failed_phases": {' "$OUT/$name.json"; then
     log "=== $name: already measured, skipping"
     return 0
   fi
