@@ -1,0 +1,60 @@
+#!/usr/bin/env bash
+# Round-3 follow-on campaign: update-MFU levers + update-path attention
+# tuning.  Runs after run_round3_campaign.sh completes (chain via
+# scripts/chain_campaign2.sh).  Same resumable contract.
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-bench_results/round3}"
+mkdir -p "$OUT"
+log() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$OUT/campaign.log"; }
+
+probe() {
+  timeout 90 python -c 'import jax,jax.numpy as jnp; x=jnp.ones((256,256))@jnp.ones((256,256)); print(float(x.sum()))' >/dev/null 2>&1
+}
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name="$1" t="$2"; shift 2
+  if [ -s "$OUT/$name.json" ] && grep -q '"' "$OUT/$name.json" \
+     && ! grep -q '"failed_phases": {' "$OUT/$name.json"; then
+    log "=== $name: already measured, skipping"
+    return 0
+  fi
+  probe || { log "tunnel wedged before $name; aborting (resumable)"; exit 1; }
+  log "=== $name: $*"
+  timeout "$t" "$@" >"$OUT/$name.json.tmp" 2>"$OUT/$name.err"
+  local rc=$?
+  if [ $rc -eq 0 ] && [ -s "$OUT/$name.json.tmp" ]; then
+    mv "$OUT/$name.json.tmp" "$OUT/$name.json"
+  else
+    log "=== $name FAILED rc=$rc (stderr tail follows)"
+    tail -c 400 "$OUT/$name.err" | tee -a "$OUT/campaign.log"
+    rm -f "$OUT/$name.json.tmp"
+  fi
+  log "=== $name done rc=$rc"
+  [ -f "$OUT/$name.json" ] && tail -c 600 "$OUT/$name.json" | tee -a "$OUT/campaign.log"
+  return 0
+}
+
+# 1. remat policy lever: checkpoint_dots at full depth (keeps matmul
+#    outputs, recomputes less in the bwd) vs the measured `full` policy.
+#    May OOM at 16 GB — a failure here is informative, not fatal.
+run update_full_512_dots 2400 python scripts/bench_e2e.py \
+    --phases update --update_vd 19,38 --remat dots --pairs 4
+
+# 2. update-path attention tuning: fwd+bwd block sweep at the 512px
+#    joint length (S=1536) where the update spends its attention time.
+run attn_sweep_1536 2400 python scripts/bench_attention.py \
+    --seqs 1536 --block_q 256,512,1024 --block_k full,1024 --bwd
+
+# 3. fixed-overhead probe: 2-pair update to separate per-pair cost from
+#    per-call overhead (optimizer + weight-stack residency churn).
+run update_full_512_p2 2400 python scripts/bench_e2e.py \
+    --phases update --update_vd 19,38 --remat full --pairs 2
+
+# 4. 720px dots-remat update (only if the 512px dots run fit in HBM).
+if [ -s "$OUT/update_full_512_dots.json" ]; then
+  run update_full_720_dots 2400 python scripts/bench_e2e.py --height 720 \
+      --phases update --update_vd 19,38 --remat dots --pairs 4
+fi
+
+log "campaign2 complete"
