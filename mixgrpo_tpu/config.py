@@ -161,7 +161,7 @@ class RuntimeConfig:
     """TPU-side runtime knobs with no reference counterpart (the reference
     hardcodes flash-attn CUDA and wires LoRA through peft + env)."""
 
-    attn_impl: str = "auto"  # auto|pallas|xla|ulysses
+    attn_impl: str = "auto"  # auto|pallas|xla|ulysses|ring
     use_lora: bool = False
     lora_rank: int = 16
     lora_alpha: float = 16.0

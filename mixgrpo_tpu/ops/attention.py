@@ -61,6 +61,14 @@ def attention(q, k, v, mask=None, impl: str = "auto"):
             mesh, axis = ctx
             base = "pallas" if _on_tpu() else "xla"
             return ulysses_attention(q, k, v, mesh, axis, base_impl=base, mask=mask)
+        if impl == "ring":
+            from mixgrpo_tpu.parallel.ring import ring_attention
+            from mixgrpo_tpu.parallel.ulysses import get_sp_context
+
+            ctx = get_sp_context()
+            assert ctx is not None, "attention(impl='ring') needs set_sp_context"
+            mesh, axis = ctx
+            return ring_attention(q, k, v, mesh, axis, mask=mask)
         if impl == "pallas":
             from mixgrpo_tpu.ops.flash_attention import flash_attention
 
