@@ -64,6 +64,18 @@ run e2e_512 3000 python scripts/bench_e2e.py --update_vd 19,38 --remat full
 run e2e_720 3000 python scripts/bench_e2e.py --height 720 \
     --update_vd 19,38 --remat full
 
+# 5b. reward phases alone: both e2e runs lost only this phase to tunnel
+#     broken pipes (their jsons carry a note); cheap to measure standalone
+run reward_512 1800 python scripts/bench_e2e.py --phases reward
+run reward_720 1800 python scripts/bench_e2e.py --height 720 --phases reward
+
+# 5c. model-level sequence alignment (pad_seq_multiple): re-measure the
+#     720px rollout + update with the joint sequence padded 2537->2560
+#     (attn_sweep showed 2.1x faster attention at the aligned length)
+run rollout_720_pad 2400 python scripts/bench_e2e.py --height 720 --phases rollout
+run update_full_720_pad 2400 python scripts/bench_e2e.py --height 720 \
+    --phases update --update_vd 19,38 --remat full --pairs 4
+
 # 6. attention block sweep at the 720px shapes (validates the 128-align
 #    fix at the unaligned S=2537; XLA/other shapes already in PERF.md)
 run attn_sweep 2400 python scripts/bench_attention.py \

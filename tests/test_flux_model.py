@@ -218,3 +218,29 @@ def test_virtual_depth_runs_deeper_than_stack(tiny_setup):
         virtual_depth=(cfg.depth_double * 3 + 1, cfg.depth_single * 2 + 1),
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("attn_impl", ["xla", "pallas"])
+def test_pad_seq_alignment_is_exact(attn_impl):
+    """Lane-aligning the joint sequence (pad_seq_multiple) is semantically
+    exact: identity-RoPE pad tokens are key-masked and sliced off, so the
+    output matches the unpadded forward at the ragged S."""
+    cfg = FluxConfig.tiny()
+    params = init_flux(jax.random.key(0), cfg)
+    B, lh, lw, lt = 1, 30, 134, 20  # packed 15x67=1005 img + 20 txt = S=1025
+    key = jax.random.key(2)
+    img = jax.random.normal(key, (B, (lh // 2) * (lw // 2), cfg.in_channels))
+    txt = jax.random.normal(key, (B, lt, cfg.context_dim))
+    pooled = jax.random.normal(key, (B, cfg.pooled_dim))
+    t = jnp.full((B,), 0.5)
+    g = jnp.full((B,), 3.5)
+    ids = np.concatenate([make_text_ids(lt), make_image_ids(lh, lw)])
+    cos, sin = rope_tables(ids, cfg.axes_dims, cfg.theta)
+    args = (img, txt, pooled, t, g, cos, sin)
+    kw = dict(dtype=jnp.float32, attn_impl=attn_impl, remat=False)
+    padded = flux_forward(params, cfg, *args, pad_seq_multiple=128, **kw)
+    plain = flux_forward(params, cfg, *args, pad_seq_multiple=0, **kw)
+    assert padded.shape == img.shape
+    np.testing.assert_allclose(
+        np.asarray(padded), np.asarray(plain), rtol=2e-4, atol=2e-4
+    )
