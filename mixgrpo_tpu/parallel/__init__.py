@@ -1,4 +1,6 @@
 from mixgrpo_tpu.parallel.mesh import MeshConfig, make_mesh, init_distributed
+from mixgrpo_tpu.parallel.ring import ring_attention
+from mixgrpo_tpu.parallel.ulysses import set_sp_context, ulysses_attention
 from mixgrpo_tpu.parallel.sharding import (
     flux_param_specs,
     shard_params,
@@ -24,4 +26,7 @@ __all__ = [
     "set_activation_mesh",
     "get_activation_mesh",
     "constrain_attn",
+    "ring_attention",
+    "set_sp_context",
+    "ulysses_attention",
 ]
