@@ -191,6 +191,97 @@ def postprocess_images(images: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# tiled decode (HBM-bounded decode for 1024px+ / large batches)
+# ---------------------------------------------------------------------------
+
+
+def _tile_starts(size: int, tile: int, stride: int) -> list:
+    """Evenly spaced tile starts covering [0, size), all full-sized.
+
+    Unlike diffusers' fixed-stride grid with a short final tile
+    (AutoencoderKL.tiled_decode, referenced by
+    fastvideo/train_grpo_flux.py:279-289 via vae.enable_tiling()), every
+    tile here is the same shape so one compiled decode serves the whole
+    grid — the TPU way (static shapes, single trace under lax.map).
+    """
+    if size <= tile:
+        return [0]
+    n = -(-(size - tile) // stride) + 1  # ceil div
+    # spread the n starts evenly over [0, size - tile]
+    return [round(i * (size - tile) / (n - 1)) for i in range(n)]
+
+
+def _ramp_weight(tile_px: int, blend: int, first: bool, last: bool):
+    """1D blend profile: linear 0->1 ramp over the overlap, flat inside.
+
+    Canvas-border sides stay at weight 1 (nothing to blend against)."""
+    w = jnp.ones((tile_px,), jnp.float32)
+    ramp = (jnp.arange(blend, dtype=jnp.float32) + 1.0) / float(blend + 1)
+    if not first:
+        w = w.at[:blend].set(ramp)
+    if not last:
+        w = w.at[-blend:].set(ramp[::-1])
+    return w
+
+
+def vae_decode_tiled(
+    params: Dict[str, Any],
+    cfg: VAEConfig,
+    latents: jnp.ndarray,  # (B, h, w, latent_channels), *normalized*
+    dtype=jnp.bfloat16,
+    tile_latent: int = 64,
+    overlap_factor: float = 0.25,
+) -> jnp.ndarray:
+    """Memory-bounded decode: overlapping latent tiles, ramp-blended seams.
+
+    Parity target: diffusers ``AutoencoderKL.tiled_decode`` (the reference
+    enables it on GPU — fastvideo/train_grpo_flux.py:279-289 — to survive
+    1024px decodes).  Same tile size (64 latent / 512 px) and overlap
+    (25%); the blend is a symmetric weighted average over linear ramps
+    rather than diffusers' asymmetric pairwise blend_v/blend_h — seam-free
+    by the same argument, but order-independent.
+
+    TPU-first: the tile grid is static, every tile is full-sized (the
+    grid is evenly spaced instead of diffusers' short final tile), and
+    the per-tile decode runs under ``lax.map`` — one trace, one compiled
+    decoder, peak activation memory of a single 512px tile instead of the
+    full image.  Output is accumulated on an fp32 canvas and normalized
+    by the accumulated weight.
+    """
+    b, h, w, c = latents.shape
+    if h <= tile_latent and w <= tile_latent:
+        return vae_decode(params, cfg, latents, dtype)
+    stride = max(1, int(tile_latent * (1.0 - overlap_factor)))
+    ys = _tile_starts(h, tile_latent, stride)
+    xs = _tile_starts(w, tile_latent, stride)
+    th = min(tile_latent, h)
+    tw = min(tile_latent, w)
+    tiles = jnp.stack(
+        [latents[:, y : y + th, x : x + tw, :] for y in ys for x in xs]
+    )  # (T, B, th, tw, C)
+
+    dec = jax.lax.map(lambda t: vae_decode(params, cfg, t, dtype), tiles)
+
+    px_h, px_w = 8 * th, 8 * tw
+    blend_h_px = max(1, int(px_h * overlap_factor))
+    blend_w_px = max(1, int(px_w * overlap_factor))
+    canvas = jnp.zeros((b, 8 * h, 8 * w, 3), jnp.float32)
+    weight = jnp.zeros((1, 8 * h, 8 * w, 1), jnp.float32)
+    t = 0
+    for yi, y in enumerate(ys):
+        wy = _ramp_weight(px_h, blend_h_px, yi == 0, yi == len(ys) - 1)
+        for xi, x in enumerate(xs):
+            wx = _ramp_weight(px_w, blend_w_px, xi == 0, xi == len(xs) - 1)
+            wt = (wy[:, None] * wx[None, :])[None, :, :, None]
+            canvas = canvas.at[:, 8 * y : 8 * y + px_h,
+                               8 * x : 8 * x + px_w, :].add(dec[t] * wt)
+            weight = weight.at[:, 8 * y : 8 * y + px_h,
+                               8 * x : 8 * x + px_w, :].add(wt)
+            t += 1
+    return canvas / weight
+
+
+# ---------------------------------------------------------------------------
 # encoder (completes the AutoencoderKL; the RL pipeline itself only decodes)
 # ---------------------------------------------------------------------------
 

@@ -75,6 +75,7 @@ class DualFluxPipeline:
         attn_impl: str = "auto",
         quant: str = "none",
         virtual_depth=None,  # benchmark aid: see flux_forward docstring
+        vae_tiling: str = "auto",  # auto | on | off
     ):
         self.flux_cfg = flux_cfg
         if quant == "int8":  # ~2x sampling throughput on TPU (ops/quant.py)
@@ -112,12 +113,26 @@ class DualFluxPipeline:
                         attn_impl=attn_impl, virtual_depth=virtual_depth)
             if num_steps - self.mix_k > 0 else None
         )
+        # VAE tiling policy: at 1024px+ the fused decode's peak activations
+        # (~GBs at batch 4) are the HBM pressure point; tile like the
+        # reference does on GPU (train_grpo_flux.py:279-289 enable_tiling)
+        if vae_tiling not in ("auto", "on", "off"):
+            raise ValueError(f"unknown vae_tiling {vae_tiling!r}")
+        self._tile_decode = vae_tiling == "on" or (
+            vae_tiling == "auto" and max(height, width) // 8 > 96
+        )
         self._decode = jax.jit(self._decode_impl) if vae_params is not None else None
 
     def _decode_impl(self, latents_packed):
         lat = unpack_latents(latents_packed, self.height, self.width)
-        img = vae_decode(self.vae_params, self.vae_cfg,
-                         denormalize_latents(lat), dtype=self.dtype)
+        if self._tile_decode:
+            from mixgrpo_tpu.models.flux.vae import vae_decode_tiled
+
+            img = vae_decode_tiled(self.vae_params, self.vae_cfg,
+                                   denormalize_latents(lat), dtype=self.dtype)
+        else:
+            img = vae_decode(self.vae_params, self.vae_cfg,
+                             denormalize_latents(lat), dtype=self.dtype)
         return postprocess_images(img)
 
     def __call__(self, txt, pooled, rng, z0=None) -> jnp.ndarray:
@@ -190,6 +205,10 @@ def main():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--clip_bpe_path", type=str,
                    default=os.environ.get("CLIP_BPE_PATH"))
+    p.add_argument("--vae_tiling", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="tiled VAE decode (auto: on above 768px; parity "
+                        "with the reference's vae.enable_tiling())")
     p.add_argument("--quant", type=str, default="none", choices=["none", "int8"],
                    help="int8: quantized DiT sampling (~2x throughput on TPU)")
     args = p.parse_args()
@@ -231,6 +250,7 @@ def main():
         height=args.h, width=args.w, num_steps=args.sampling_steps,
         mix_sampling_steps=args.mix_sampling_steps,
         guidance_scale=args.guidance_scale, quant=args.quant,
+        vae_tiling=args.vae_tiling,
     )
 
     prompts = read_prompts(args.prompt_path)

@@ -271,6 +271,9 @@ def main():
     p.add_argument("--num_steps", type=int, default=50)
     p.add_argument("--mix_sampling_steps", type=int, default=30)
     p.add_argument("--quant", default="none", choices=["none", "int8"])
+    p.add_argument("--vae_tiling", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="tiled VAE decode (auto: on above 768px)")
     args = p.parse_args()
 
     import os
@@ -301,7 +304,7 @@ def main():
         flux_cfg, base, tuned, vae_cfg=vae_cfg, vae_params=vae,
         height=args.height, width=args.width, num_steps=args.num_steps,
         mix_sampling_steps=args.mix_sampling_steps, dtype=jnp.bfloat16,
-        quant=args.quant,
+        quant=args.quant, vae_tiling=args.vae_tiling,
     )
     encoder = build_prompt_encoder_from_dir(args.model_path)
     batcher = RequestBatcher(

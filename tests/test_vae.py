@@ -80,3 +80,64 @@ def test_encode_shapes_and_roundtrip_scale():
 
     raw = np.asarray(m1) / VAE_SCALING + VAE_SHIFT
     assert np.isfinite(raw).all()
+
+
+# ---------------------------------------------------------------------------
+# tiled decode
+# ---------------------------------------------------------------------------
+
+
+def test_tile_starts_cover_and_full_sized():
+    from mixgrpo_tpu.models.flux.vae import _tile_starts
+
+    for size, tile, stride in [(24, 16, 12), (20, 16, 12), (128, 64, 48),
+                               (64, 64, 48), (65, 64, 48)]:
+        starts = _tile_starts(size, tile, stride)
+        assert starts[0] == 0
+        if size > tile:
+            assert starts[-1] == size - tile  # covers the far edge
+        assert all(s + tile <= size for s in starts)  # all full tiles
+        assert starts == sorted(starts)
+        # every position covered by at least one tile
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + min(tile, size)))
+        assert covered == set(range(size))
+
+
+def test_tiled_decode_single_tile_is_exact():
+    from mixgrpo_tpu.models.flux.vae import vae_decode_tiled
+
+    cfg = VAEConfig.tiny()
+    params = init_vae_decoder(jax.random.key(0), cfg)
+    lat = jax.random.normal(jax.random.key(2), (1, 8, 8, cfg.latent_channels))
+    a = np.asarray(vae_decode(params, cfg, lat, dtype=jnp.float32))
+    b = np.asarray(vae_decode_tiled(params, cfg, lat, dtype=jnp.float32,
+                                    tile_latent=16))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_tiled_decode_multi_tile_parity_and_jit():
+    """Tiled decode approximates the global decode (tiling is inherently
+    approximate at tile borders — conv receptive-field truncation plus the
+    per-tile mid-block attention; same property as diffusers
+    AutoencoderKL.tiled_decode, which the reference enables via
+    vae.enable_tiling() in train_grpo_flux.py:279-289)."""
+    from mixgrpo_tpu.models.flux.vae import vae_decode_tiled
+
+    cfg = VAEConfig.tiny()
+    params = init_vae_decoder(jax.random.key(0), cfg)
+    lat = jax.random.normal(jax.random.key(1), (2, 24, 20, cfg.latent_channels))
+    full = np.asarray(vae_decode(params, cfg, lat, dtype=jnp.float32))
+    f = jax.jit(lambda p, z: vae_decode_tiled(p, cfg, z, dtype=jnp.float32,
+                                              tile_latent=16))
+    tiled = np.asarray(f(params, lat))
+    assert tiled.shape == full.shape == (2, 192, 160, 3)
+    assert np.isfinite(tiled).all()
+    # empirical bound at tiny-config scale (observed rel ~0.14): the two
+    # decodes agree closely in aggregate; real FLUX weights (mild VAE
+    # attention, 64-latent tiles) sit far inside this bound
+    rel = np.abs(tiled - full).mean() / full.std()
+    assert rel < 0.25, rel
+    corr = np.corrcoef(tiled.ravel(), full.ravel())[0, 1]
+    assert corr > 0.95, corr
