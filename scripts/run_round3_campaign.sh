@@ -3,7 +3,9 @@
 # Resumable: phases whose .json already contains a result are skipped, so
 # the tunnel watchdog can relaunch after a mid-campaign wedge and only the
 # remaining phases run.  Probes the tunnel between phases and exits 1 when
-# it wedges (the watchdog retries later).
+# it wedges (the watchdog retries later).  Phases that fail 3 times are
+# abandoned (counter in $OUT/<name>.fails) so one bad phase cannot starve
+# the rest of the campaign.
 #
 #   bash scripts/run_round3_campaign.sh [results_dir]
 set -u
@@ -23,14 +25,23 @@ run() { # run <name> <timeout_s> <cmd...>
     log "=== $name: already measured, skipping"
     return 0
   fi
+  local fails=0
+  [ -f "$OUT/$name.fails" ] && fails=$(cat "$OUT/$name.fails")
+  if [ "$fails" -ge 3 ]; then
+    log "=== $name: abandoned after $fails failures"
+    return 0
+  fi
   probe || { log "tunnel wedged before $name; aborting (resumable)"; exit 1; }
   log "=== $name: $*"
   timeout "$t" "$@" >"$OUT/$name.json.tmp" 2>"$OUT/$name.err"
   local rc=$?
-  if [ $rc -eq 0 ] && [ -s "$OUT/$name.json.tmp" ]; then
+  if [ $rc -eq 0 ] && [ -s "$OUT/$name.json.tmp" ] \
+     && ! grep -q '"failed_phases": {' "$OUT/$name.json.tmp"; then
     mv "$OUT/$name.json.tmp" "$OUT/$name.json"
+    rm -f "$OUT/$name.fails"
   else
-    log "=== $name FAILED rc=$rc (stderr tail follows)"
+    echo $((fails + 1)) > "$OUT/$name.fails"
+    log "=== $name FAILED rc=$rc fail#$((fails + 1)) (stderr tail follows)"
     tail -c 400 "$OUT/$name.err" | tee -a "$OUT/campaign.log"
     rm -f "$OUT/$name.json.tmp"
   fi
@@ -39,53 +50,42 @@ run() { # run <name> <timeout_s> <cmd...>
   return 0
 }
 
-# Ordered by VERDICT priority — tunnel-healthy windows are short and the
-# campaign resumes, so the critical measurements go first.
+# Ordered by VERDICT priority; the flaky reward phases go LAST so their
+# remote-compile broken pipes cannot starve the pad/serve/trace phases.
 
-# 1. headline (warms the compile cache; kernel alignment is a no-op at
-#    the already-aligned S=1536)
 run headline 1200 python bench.py
 
-# 2. THE measurement (item 1): full-depth (19,38) PPO update, nested-scan
 run update_full_512 2400 python scripts/bench_e2e.py \
     --phases update --update_vd 19,38 --remat full --pairs 4
-
-# 3. 720px full-depth rollout forward (item 3: want <= ~262 ms/fwd)
 run rollout_720 2400 python scripts/bench_e2e.py --height 720 --phases rollout
-
-# 4. update MFU levers + 720px update
 run update_full_512_p8 2400 python scripts/bench_e2e.py \
     --phases update --update_vd 19,38 --remat full --pairs 8
 run update_full_720 2400 python scripts/bench_e2e.py --height 720 \
     --phases update --update_vd 19,38 --remat full --pairs 4
-
-# 5. full e2e composition with the measured full-depth update
 run e2e_512 3000 python scripts/bench_e2e.py --update_vd 19,38 --remat full
 run e2e_720 3000 python scripts/bench_e2e.py --height 720 \
     --update_vd 19,38 --remat full
 
-# 5b. reward phases alone: both e2e runs lost only this phase to tunnel
-#     broken pipes (their jsons carry a note); cheap to measure standalone
-run reward_512 1800 python scripts/bench_e2e.py --phases reward
-run reward_720 1800 python scripts/bench_e2e.py --height 720 --phases reward
-
-# 5c. model-level sequence alignment (pad_seq_multiple): re-measure the
-#     720px rollout + update with the joint sequence padded 2537->2560
-#     (attn_sweep showed 2.1x faster attention at the aligned length)
+# model-level sequence alignment (pad_seq_multiple): re-measure the
+# 720px rollout + update with the joint sequence padded 2537->2560
+# (attn_sweep showed 2.1x faster attention at the aligned length)
 run rollout_720_pad 2400 python scripts/bench_e2e.py --height 720 --phases rollout
 run update_full_720_pad 2400 python scripts/bench_e2e.py --height 720 \
     --phases update --update_vd 19,38 --remat full --pairs 4
 
-# 6. attention block sweep at the 720px shapes (validates the 128-align
-#    fix at the unaligned S=2537; XLA/other shapes already in PERF.md)
 run attn_sweep 2400 python scripts/bench_attention.py \
     --seqs 2537,2560 --block_q 512 --block_k full --bwd
 
-# 7. serving at the reference inference recipe shape (item 8)
+# serving at the reference inference recipe shape (item 8)
 run serve_recipe 3600 python scripts/bench_serve.py --mode recipe
 run serve_recipe_int8 3600 python scripts/bench_serve.py --mode recipe --quant int8
 
-# 8. 50-iteration production-loop trace (item 9)
+# 50-iteration production-loop trace (item 9)
 run train_trace 5400 python scripts/train_trace_tpu.py --iters 50
+
+# reward phases: repeatedly lost to remote-compile broken pipes; tried
+# last with a bounded retry budget
+run reward_512 1800 python scripts/bench_e2e.py --phases reward
+run reward_720 1800 python scripts/bench_e2e.py --height 720 --phases reward
 
 log "campaign complete"
