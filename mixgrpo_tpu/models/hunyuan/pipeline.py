@@ -46,6 +46,7 @@ class HunyuanVideoPipeline:
         attn_impl: str = "auto",
         text_encoder=None,  # models.hunyuan.text_encoder.LLMTextEncoder
         clip_pooler=None,  # models.hunyuan.text_encoder.CLIPTextPooler
+        vae_tiling: str = "auto",  # auto | on | off
     ):
         self.cfg = cfg
         self.params = params
@@ -56,6 +57,9 @@ class HunyuanVideoPipeline:
         self.guidance_scale = guidance_scale
         self.dtype = dtype
         self.attn_impl = attn_impl
+        if vae_tiling not in ("auto", "on", "off"):
+            raise ValueError(f"unknown vae_tiling {vae_tiling!r}")
+        self.vae_tiling = vae_tiling
         sched = FlowMatchDiscreteScheduler(shift=shift)
         sched.set_timesteps(num_steps)
         self.sigmas = sched.sigmas
@@ -154,6 +158,20 @@ class HunyuanVideoPipeline:
         if self.vae_params is None:
             return lat
         lat = lat / self.vae_cfg.scaling_factor
-        video = causal_vae_decode(self.vae_params, self.vae_cfg, lat,
-                                  dtype=self.dtype)
+        # tiling policy mirrors the reference, which enables spatial +
+        # temporal VAE tiling for every real video decode
+        # (autoencoder_kl_causal_3d.py enable_tiling; sample sizes 256px /
+        # 64 frames): tile when the latent exceeds one tile in any axis
+        tile = self.vae_tiling == "on" or (
+            self.vae_tiling == "auto"
+            and (lat.shape[1] > 17 or max(lat.shape[2], lat.shape[3]) > 32)
+        )
+        if tile:
+            from mixgrpo_tpu.models.hunyuan.vae3d import causal_vae_decode_tiled
+
+            video = causal_vae_decode_tiled(self.vae_params, self.vae_cfg,
+                                            lat, dtype=self.dtype)
+        else:
+            video = causal_vae_decode(self.vae_params, self.vae_cfg, lat,
+                                      dtype=self.dtype)
         return jnp.clip(video * 0.5 + 0.5, 0.0, 1.0)
