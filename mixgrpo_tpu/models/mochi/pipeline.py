@@ -33,7 +33,11 @@ class MochiPipeline:
         attn_impl: str = "xla",
         vae_cfg=None,  # models.mochi.vae.MochiVAEConfig
         vae_params=None,
+        vae_tiling: str = "auto",  # auto | on | off
     ):
+        if vae_tiling not in ("auto", "on", "off"):
+            raise ValueError(f"unknown vae_tiling {vae_tiling!r}")
+        self.vae_tiling = vae_tiling
         self.cfg = cfg
         self.params = params
         self.vae_cfg, self.vae_params = vae_cfg, vae_params
@@ -100,10 +104,18 @@ class MochiPipeline:
         if self.vae_params is None:
             return lat
         from mixgrpo_tpu.models.mochi.latents import denormalize_dit_output
-        from mixgrpo_tpu.models.mochi.vae import mochi_vae_decode
+        from mixgrpo_tpu.models.mochi.vae import (
+            mochi_vae_decode, mochi_vae_decode_tiled)
 
         if lat.shape[-1] == 12:  # published per-channel stats are 12-ch
             lat = denormalize_dit_output(lat)
-        video = mochi_vae_decode(self.vae_params, self.vae_cfg, lat,
-                                 dtype=self.dtype)
+        # tiling policy mirrors the reference pipeline's enable_vae_tiling
+        # (pipeline_mochi.py:444-457): tile when the latent exceeds one
+        # 256px / 16-frame tile in any axis
+        tile = self.vae_tiling == "on" or (
+            self.vae_tiling == "auto"
+            and (lat.shape[1] > 17 or max(lat.shape[2], lat.shape[3]) > 32)
+        )
+        decode = mochi_vae_decode_tiled if tile else mochi_vae_decode
+        video = decode(self.vae_params, self.vae_cfg, lat, dtype=self.dtype)
         return jnp.clip(video * 0.5 + 0.5, 0.0, 1.0)

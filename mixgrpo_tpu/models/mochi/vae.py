@@ -182,6 +182,30 @@ def mochi_vae_decode(
     return _causal_conv(params["proj_out"], x).astype(jnp.float32)
 
 
+def mochi_vae_decode_tiled(
+    params,
+    cfg: MochiVAEConfig,
+    latents: jnp.ndarray,  # (B, T, h, w, 12) DEnormalized
+    dtype=jnp.bfloat16,
+    tile_latent: int = 32,     # 256px sample tiles (diffusers
+                               # AutoencoderKLMochi tile_sample_min_* = 256)
+    tile_latent_t: int = 16,
+    overlap_factor: float = 0.25,
+) -> jnp.ndarray:
+    """HBM-bounded Mochi decode — parity with the reference pipeline's
+    enable_vae_tiling (fastvideo/models/mochi_hf/pipeline_mochi.py:444-457).
+    Same frame mapping as the Hunyuan causal VAE (first latent frame -> 1
+    output frame), so the shared tiler applies; see
+    ``models/video_tiling.py``."""
+    from mixgrpo_tpu.models.video_tiling import tiled_causal_decode
+
+    return tiled_causal_decode(
+        lambda z: mochi_vae_decode(params, cfg, z, dtype), latents,
+        rt=cfg.temporal_compression, rs=cfg.spatial_compression,
+        tile_latent=tile_latent, tile_latent_t=tile_latent_t,
+        overlap_factor=overlap_factor)
+
+
 def load_mochi_vae_decoder(path: str, cfg: MochiVAEConfig):
     """Diffusers AutoencoderKLMochi decoder names (enumerated by
     convert_diffusers_to_mochi.py:342-449) -> our pytree."""
