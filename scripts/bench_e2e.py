@@ -178,15 +178,15 @@ def main():
         )(jax.random.key(3))
 
         @jax.jit
-        def decode(latents_packed):
+        def decode(vae_params, latents_packed):
             lat = unpack_latents(latents_packed, HEIGHT, HEIGHT)
             return vae_decode(vae_params, vae_cfg, denormalize_latents(lat),
                               dtype=jnp.bfloat16)
 
-        img = decode(out.final_latents)
+        img = decode(vae_params, out.final_latents)
         float(img.sum())
         t0 = time.time()
-        img = decode(out.final_latents)
+        img = decode(vae_params, out.final_latents)
         float(img.sum())
         return time.time() - t0
 
@@ -200,15 +200,18 @@ def main():
         images = jax.random.uniform(
             jax.random.key(6), (REWARD_B, HEIGHT, HEIGHT, 3), jnp.float32)
 
+        # cparams MUST be a jit argument: closed-over, the 630M-param
+        # tower is embedded in the program as constants and the ~1.3 GB
+        # remote-compile upload breaks the tunnel pipe deterministically
         @jax.jit
-        def score(images):
+        def score(cparams, images):
             x = jax.image.resize(images, (REWARD_B, 224, 224, 3), "bilinear")
             return clip_image_features(cparams, ccfg, x, dtype=jnp.bfloat16)
 
-        f = score(images)
+        f = score(cparams, images)
         float(f.sum())
         t0 = time.time()
-        f = score(images)
+        f = score(cparams, images)
         float(f.sum())
         return time.time() - t0
 
