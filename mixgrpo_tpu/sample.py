@@ -121,17 +121,20 @@ class DualFluxPipeline:
         self._tile_decode = vae_tiling == "on" or (
             vae_tiling == "auto" and max(height, width) // 8 > 96
         )
+        # vae_params is a jit ARGUMENT (not a closure): closed-over
+        # pytrees are baked into the program as constants, which bloats
+        # the (remote) compile payload by the full parameter size
         self._decode = jax.jit(self._decode_impl) if vae_params is not None else None
 
-    def _decode_impl(self, latents_packed):
+    def _decode_impl(self, vae_params, latents_packed):
         lat = unpack_latents(latents_packed, self.height, self.width)
         if self._tile_decode:
             from mixgrpo_tpu.models.flux.vae import vae_decode_tiled
 
-            img = vae_decode_tiled(self.vae_params, self.vae_cfg,
+            img = vae_decode_tiled(vae_params, self.vae_cfg,
                                    denormalize_latents(lat), dtype=self.dtype)
         else:
-            img = vae_decode(self.vae_params, self.vae_cfg,
+            img = vae_decode(vae_params, self.vae_cfg,
                              denormalize_latents(lat), dtype=self.dtype)
         return postprocess_images(img)
 
@@ -162,7 +165,7 @@ class DualFluxPipeline:
             )
             z = out.final_latents
         if self._decode is not None:
-            return self._decode(z)
+            return self._decode(self.vae_params, z)
         return z
 
 

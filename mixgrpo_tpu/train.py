@@ -232,8 +232,10 @@ class GRPOTrainer:
         main_print(f"resumed from step {step}")
 
     def _decode_impl(self, vae_params, latents_packed):
+        # vae_params must flow through the jit ARGUMENT (closing over
+        # self.vae_params would bake ~100 MB of constants into the program)
         lat = unpack_latents(latents_packed, self.cfg.grpo.h, self.cfg.grpo.w)
-        img = vae_decode(self.vae_params, self.vae_cfg, denormalize_latents(lat),
+        img = vae_decode(vae_params, self.vae_cfg, denormalize_latents(lat),
                          dtype=self.dtype)
         return postprocess_images(img)
 
