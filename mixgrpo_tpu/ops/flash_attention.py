@@ -322,6 +322,17 @@ def _flash_bwd(scale, block_q, block_k, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _auto_block_k(block_q: int, S: int, Sk: int) -> int:
+    """Full-K only when the fp32 (block_q, Sk) score tile fits well inside
+    the ~16 MB/core VMEM alongside double-buffered K/V tiles and the exp
+    intermediate (Mosaic holds TWO score-sized fp32 temporaries).  Budget
+    the score tile at <= 6 MB: Sk <= 3072 at block_q=512.  S=4608 (1024px
+    FLUX) with full-K needs ~2x9.4 MB and crashes the TPU worker —
+    observed on the serve recipe bench."""
+    bq_eff = min(block_q, S)
+    return Sk if bq_eff * Sk * 4 <= 6 * 2**20 else 1024
+
+
 def flash_attention(q, k, v, mask=None, block_q: int = 512, block_k=None):
     """Flash attention over (B, H, S, D); optional key-side mask.
 
@@ -340,8 +351,7 @@ def flash_attention(q, k, v, mask=None, block_q: int = 512, block_k=None):
     B, H, S, D = q.shape
     Sk = k.shape[2]
     if block_k is None:
-        # bq*Sk*4B scores + 2*Sk*D*2B kv + ~1MB q/o/acc; 4608 @ bq=512 ≈ 12.6MB
-        block_k = Sk if Sk <= 4608 else 1024
+        block_k = _auto_block_k(block_q, S, Sk)
     if mask is None:
         kbias = jnp.zeros((B, Sk), jnp.float32)
     else:

@@ -117,3 +117,19 @@ def test_key_mask_2d_form():
     b = flash_attention(q[:, :, :, :], k[:, :, :32], v[:, :, :32],
                         block_q=64, block_k=64)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_auto_block_k_respects_vmem_budget():
+    """Full-K auto-selection must stay inside the ~16MB/core VMEM: the
+    fp32 score tile is budgeted at 6MB (two score-sized temporaries +
+    double-buffered K/V).  S=4608 (1024px FLUX joint seq) must chunk —
+    full-K there crashed the TPU worker on the serve recipe bench."""
+    from mixgrpo_tpu.ops.flash_attention import _auto_block_k
+
+    assert _auto_block_k(512, 1536, 1536) == 1536   # 512px: full-K
+    assert _auto_block_k(512, 2560, 2560) == 2560   # 720px padded: full-K
+    assert _auto_block_k(512, 3072, 3072) == 3072   # budget boundary
+    assert _auto_block_k(512, 4608, 4608) == 1024   # 1024px: chunked
+    assert _auto_block_k(1024, 2560, 2560) == 1024  # bigger bq shrinks Sk cap
+    # tiny S caps the effective bq (kernel clamps bq to S)
+    assert _auto_block_k(512, 64, 8192) == 8192
