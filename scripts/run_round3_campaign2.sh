@@ -35,6 +35,11 @@ run() { # run <name> <timeout_s> <cmd...>
   return 0
 }
 
+# 0. serve-crash isolation probe (bf16 1024px sub-programs, hardest
+#    first) + the bf16 serve retry with the VMEM-bounded auto block_k
+run probe_serve_1024 2400 python scripts/probe_serve_crash.py
+run serve_recipe 3600 python scripts/bench_serve.py --mode recipe
+
 # 1. remat policy lever: checkpoint_dots at full depth (keeps matmul
 #    outputs, recomputes less in the bwd) vs the measured `full` policy.
 #    May OOM at 16 GB — a failure here is informative, not fatal.
