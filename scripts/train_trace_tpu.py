@@ -111,8 +111,11 @@ def main():
     txt_feat = jax.random.normal(jax.random.key(10), (ccfg.embed_dim,))
     txt_feat = txt_feat / jnp.linalg.norm(txt_feat)
 
+    # cparams is a jit ARGUMENT: closed over, the 630M-param tower ships
+    # as ~1.3 GB of program constants through remote compile (wedges the
+    # tunnel — same failure the e2e reward phase had)
     @jax.jit
-    def clip_score(images01):
+    def clip_score(cparams, images01):
         B = images01.shape[0]
         x = jax.image.resize(images01, (B, CLIP_RES, CLIP_RES, 3), "bilinear")
         f = clip_image_features(cparams, ccfg, x, dtype=jnp.bfloat16)
@@ -120,7 +123,7 @@ def main():
         return f @ txt_feat.astype(f.dtype)
 
     def reward_fn(images01, captions):
-        r = np.asarray(clip_score(images01), np.float64)
+        r = np.asarray(clip_score(cparams, images01), np.float64)
         return {"clip_vith": r}, {"clip_vith": np.ones_like(r)}
 
     trainer = GRPOTrainer(
