@@ -13,6 +13,12 @@ MODEL_PATH=${MODEL_PATH:-"./data/flux"}
 DATA_DIR=${DATA_DIR:-"./data/rl_embeddings"}
 OUTPUT_DIR=${OUTPUT_DIR:-"./out"}
 
+# Mesh: weights + fp32 Adam state sharded over every chip (ZeRO-3 via the
+# fsdp axis); the batch is data-parallel over the same axis
+# (parallel/sharding.py::data_spec shards batch over dp AND fsdp), so
+# fsdp=-1 is full data parallelism WITH sharded optimizer state.  Pure DP
+# (--mesh_dp -1 --mesh_fsdp 1, the small-model default) would replicate
+# ~144 GB of 12B fp32 AdamW state per chip and OOM on any TPU.
 python -m mixgrpo_tpu.train \
   --data_json_path "${DATA_DIR}" \
   --pretrained_model_name_or_path "${MODEL_PATH}" \
@@ -50,5 +56,5 @@ python -m mixgrpo_tpu.train \
   --max_train_steps 300 \
   --checkpointing_steps 50 \
   --seed 714 --sampler_seed 7144 \
-  --mesh_dp -1 --mesh_fsdp 1 --mesh_sp 1 --mesh_tp 1 \
+  --mesh_dp 1 --mesh_fsdp -1 --mesh_sp 1 --mesh_tp 1 \
   "$@"
