@@ -83,6 +83,10 @@ run serve_recipe_int8 3600 python scripts/bench_serve.py --mode recipe --quant i
 # 50-iteration production-loop trace (item 9)
 run train_trace 5400 python scripts/train_trace_tpu.py --iters 50
 
+# bf16 serve crash isolation (4 crashes; int8 passes, chunked-attention
+# fix did NOT help): run the suspect sub-programs standalone
+run probe_serve_1024 2400 python scripts/probe_serve_crash.py
+
 # reward phases: repeatedly lost to remote-compile broken pipes; tried
 # last with a bounded retry budget
 run reward_512 1800 python scripts/bench_e2e.py --phases reward
