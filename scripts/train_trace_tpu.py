@@ -83,8 +83,12 @@ def main():
     TEXT_LEN = 8 if args.tiny else 512
     cfg = TrainConfig(
         data=DataConfig(data_json_path=f"{args.tmp}/cache", train_batch_size=1),
+        # accum group 2 (not the recipe's 3/4): the fused-group update's
+        # activation peak plus resident FLUX + fp32 opt state + ViT-H
+        # reward tower must fit one 16 GB chip for this single-chip trace
+        # (first 50-iter attempt OOMed with group 4)
         optim=OptimConfig(max_train_steps=args.iters,
-                          gradient_accumulation_steps=4,
+                          gradient_accumulation_steps=2,
                           learning_rate=args.lr, gradient_checkpointing=True),
         grpo=GRPOConfig(h=HW, w=HW, sampling_steps=args.steps,
                         num_generations=4, use_group=True,
