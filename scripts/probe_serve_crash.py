@@ -100,9 +100,13 @@ def main():
     phase("fwd_1024_fulldepth", fwd)
 
     def seg_rollout():
+        # EXACT program shape of the serve recipe's segment-1 rollout
+        # (num_steps_max=31 like DualFluxPipeline's 30-step tuned segment;
+        # the executed step count is data, so running 3 steps exercises
+        # the same compiled program the serve warmup dies in)
         from mixgrpo_tpu.sampler import FluxSampler, SamplerConfig
 
-        scfg = SamplerConfig(num_steps_max=3, eta=0.0)
+        scfg = SamplerConfig(num_steps_max=31, eta=0.0)
         sampler = FluxSampler(cfg, scfg, height=HEIGHT, width=HEIGHT,
                               text_len=TEXT, guidance_scale=3.5,
                               dtype=jnp.bfloat16, attn_impl="auto",
@@ -110,8 +114,8 @@ def main():
         z0 = sampler.init_noise(jax.random.key(6), B)
         txt = jax.random.normal(jax.random.key(4), (B, TEXT, 4096), jnp.float32)
         pooled = jax.random.normal(jax.random.key(5), (B, 768), jnp.float32)
-        sig = np.linspace(1.0, 0.0, 4).astype(np.float32)
-        det = jnp.ones(3, bool)
+        sig = np.linspace(1.0, 0.0, 32).astype(np.float32)
+        det = jnp.ones(31, bool)
         out = sampler.rollout(params, z0, txt, pooled, jnp.asarray(sig), det,
                               3, jax.random.key(7))
         float(out.final_latents.sum())
