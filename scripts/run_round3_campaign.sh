@@ -87,6 +87,8 @@ run train_trace 5400 python scripts/train_trace_tpu.py --iters 50
 # fix did NOT help): run the suspect sub-programs standalone
 run probe_serve_1024 2400 python scripts/probe_serve_crash.py
 
+run probe_serve2_1024 3600 python scripts/probe_serve_crash2.py
+
 # reward phases: repeatedly lost to remote-compile broken pipes; tried
 # last with a bounded retry budget
 run reward_512 1800 python scripts/bench_e2e.py --phases reward
