@@ -76,6 +76,7 @@ class DualFluxPipeline:
         quant: str = "none",
         virtual_depth=None,  # benchmark aid: see flux_forward docstring
         vae_tiling: str = "auto",  # auto | on | off
+        max_steps_per_call: Optional[int] = None,
     ):
         self.flux_cfg = flux_cfg
         if quant == "int8":  # ~2x sampling throughput on TPU (ops/quant.py)
@@ -98,7 +99,16 @@ class DualFluxPipeline:
         mu = calculate_shift(image_seq_len)
         self.sigmas = dynamic_shift_sigmas(num_steps, mu)
 
-        scfg = lambda T: SamplerConfig(num_steps_max=T, eta=0.0)
+        # max_steps_per_call bounds the duration of ONE device execution by
+        # splitting a segment into fixed-shape chunks driven from the host
+        # (the executed step count is data, so every chunk reuses the same
+        # compiled program).  A full-depth 1024px batch-4 segment is an
+        # ~81 s single device call otherwise — long enough to trip
+        # execution watchdogs on tunneled/managed runtimes, and coarse for
+        # preemption either way.  None = one call per segment (default).
+        self._chunk = max_steps_per_call
+        cap = lambda T: min(T, self._chunk) if self._chunk else T
+        scfg = lambda T: SamplerConfig(num_steps_max=cap(T), eta=0.0)
         self._seg1 = (
             FluxSampler(flux_cfg, scfg(self.mix_k), height=height, width=width,
                         text_len=text_len, guidance_scale=guidance_scale,
@@ -150,22 +160,31 @@ class DualFluxPipeline:
         z = sampler.init_noise(rng, B) if z0 is None else z0
         k = self.mix_k
         if self._seg1 is not None:
-            det = jnp.ones(k, bool)
-            out = self._seg1.rollout(
-                self.tuned_params, z, txt, pooled,
-                self.sigmas[: k + 1], det, k, rng,
-            )
-            z = out.final_latents
+            z = self._run_segment(self._seg1, self.tuned_params, z, txt,
+                                  pooled, self.sigmas[: k + 1], rng)
         if self._seg2 is not None:
-            T2 = self.num_steps - k
-            det = jnp.ones(T2, bool)
-            out = self._seg2.rollout(
-                self.base_params, z, txt, pooled,
-                self.sigmas[k:], det, T2, rng,
-            )
-            z = out.final_latents
+            z = self._run_segment(self._seg2, self.base_params, z, txt,
+                                  pooled, self.sigmas[k:], rng)
         if self._decode is not None:
             return self._decode(self.vae_params, z)
+        return z
+
+    def _run_segment(self, sampler, params, z, txt, pooled, sigmas_seg, rng):
+        """Run a deterministic ODE segment, optionally as bounded-duration
+        chunks (``max_steps_per_call``).  Each chunk reuses the segment's
+        single compiled program: the chunk schedule is padded to the fixed
+        shape and the executed step count is passed as data."""
+        T = len(sigmas_seg) - 1
+        C = sampler.sampler_cfg.num_steps_max
+        for s0 in range(0, T, C):
+            n = min(C, T - s0)
+            sig = np.asarray(sigmas_seg[s0 : s0 + n + 1], np.float32)
+            if len(sig) < C + 1:  # pad the final short chunk (n is data)
+                sig = np.concatenate(
+                    [sig, np.full(C + 1 - len(sig), sig[-1], np.float32)])
+            det = jnp.ones(C, bool)
+            out = sampler.rollout(params, z, txt, pooled, sig, det, n, rng)
+            z = out.final_latents
         return z
 
 

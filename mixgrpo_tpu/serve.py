@@ -274,6 +274,9 @@ def main():
     p.add_argument("--vae_tiling", default="auto",
                    choices=["auto", "on", "off"],
                    help="tiled VAE decode (auto: on above 768px)")
+    p.add_argument("--max_steps_per_call", type=int, default=None,
+                   help="bound one device execution to N sampling steps "
+                        "(chunked segments; same compiled program)")
     args = p.parse_args()
 
     import os
@@ -305,6 +308,7 @@ def main():
         height=args.height, width=args.width, num_steps=args.num_steps,
         mix_sampling_steps=args.mix_sampling_steps, dtype=jnp.bfloat16,
         quant=args.quant, vae_tiling=args.vae_tiling,
+        max_steps_per_call=args.max_steps_per_call,
     )
     encoder = build_prompt_encoder_from_dir(args.model_path)
     batcher = RequestBatcher(

@@ -71,10 +71,16 @@ def main():
     # DualFluxPipeline — the "tuned" weights here are a second copy (the
     # compute path, not the score, is what is timed)
     tuned = base if MIX > 0 else None
+    # recipe mode: bound each device execution to 8 steps (~22 s at bf16
+    # 1024px batch 4).  The unchunked 30-step segment is an ~81 s single
+    # device call, which reliably crashed the tunneled TPU worker (probe
+    # history in bench_results/round3/probe_serve*); production behavior
+    # is identical — the chunk schedule is data on one compiled program.
     pipe = DualFluxPipeline(
         cfg, base, tuned, height=HEIGHT, width=HEIGHT, num_steps=STEPS,
         mix_sampling_steps=MIX, text_len=TEXT_LEN, dtype=jnp.bfloat16,
         attn_impl="auto", quant=args.quant, virtual_depth=vd,
+        max_steps_per_call=8 if args.mode == "recipe" else None,
     )
 
     def encode(prompts):

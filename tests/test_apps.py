@@ -211,3 +211,22 @@ def test_eval_rewards_single_image_mode(tmp_path):
     assert out["hpsv2_success"] is True
     np.testing.assert_allclose(out["hpsv2_reward"], arr.mean() / 255.0,
                                rtol=1e-3)
+
+
+def test_dual_pipeline_chunked_calls_match_unchunked():
+    """max_steps_per_call chunks a segment into bounded device executions;
+    the trajectory must be bit-identical (deterministic ODE steps, chunk
+    schedule is data on the same step math)."""
+    flux_cfg = FluxConfig.tiny()
+    base = init_flux(jax.random.key(0), flux_cfg)
+    tuned = init_flux(jax.random.key(1), flux_cfg)
+    kw = dict(height=64, width=64, num_steps=7, mix_sampling_steps=3,
+              text_len=4, dtype=jnp.float32, attn_impl="xla")
+    pipe = DualFluxPipeline(flux_cfg, base, tuned, **kw)
+    pipe_c = DualFluxPipeline(flux_cfg, base, tuned, max_steps_per_call=2,
+                              **kw)
+    txt = jax.random.normal(jax.random.key(3), (2, 4, flux_cfg.context_dim))
+    pooled = jax.random.normal(jax.random.key(4), (2, flux_cfg.pooled_dim))
+    a = np.asarray(pipe(txt, pooled, jax.random.key(5)))
+    b = np.asarray(pipe_c(txt, pooled, jax.random.key(5)))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
