@@ -323,14 +323,16 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def _auto_block_k(block_q: int, S: int, Sk: int) -> int:
-    """Full-K only when the fp32 (block_q, Sk) score tile fits well inside
-    the ~16 MB/core VMEM alongside double-buffered K/V tiles and the exp
-    intermediate (Mosaic holds TWO score-sized fp32 temporaries).  Budget
-    the score tile at <= 6 MB: Sk <= 3072 at block_q=512.  S=4608 (1024px
-    FLUX) with full-K needs ~2x9.4 MB and crashes the TPU worker —
-    observed on the serve recipe bench."""
+    """Full-K only when the fp32 (block_q, Sk) score tile fits the
+    ~16 MB/core VMEM alongside double-buffered K/V tiles.  Budget the
+    score tile at <= 10 MB — Sk <= 5120 at block_q=512, which covers
+    every supported image size through 1024px (S=4608: measured working
+    and 1.2x faster than 1024-chunks at B=4 on-chip,
+    bench_results/round3/probe_serve_1024.json; Mosaic subtiles the
+    score internally so the naive two-temporaries estimate overshoots).
+    Beyond that, 1024-wide chunks."""
     bq_eff = min(block_q, S)
-    return Sk if bq_eff * Sk * 4 <= 6 * 2**20 else 1024
+    return Sk if bq_eff * Sk * 4 <= 10 * 2**20 else 1024
 
 
 def flash_attention(q, k, v, mask=None, block_q: int = 512, block_k=None):

@@ -121,15 +121,15 @@ def test_key_mask_2d_form():
 
 def test_auto_block_k_respects_vmem_budget():
     """Full-K auto-selection must stay inside the ~16MB/core VMEM: the
-    fp32 score tile is budgeted at 6MB (two score-sized temporaries +
-    double-buffered K/V).  S=4608 (1024px FLUX joint seq) must chunk —
-    full-K there crashed the TPU worker on the serve recipe bench."""
+    fp32 score tile is budgeted at 10MB.  S=4608 (1024px FLUX joint seq)
+    stays full-K (measured working and faster on-chip); far longer
+    sequences chunk."""
     from mixgrpo_tpu.ops.flash_attention import _auto_block_k
 
     assert _auto_block_k(512, 1536, 1536) == 1536   # 512px: full-K
     assert _auto_block_k(512, 2560, 2560) == 2560   # 720px padded: full-K
-    assert _auto_block_k(512, 3072, 3072) == 3072   # budget boundary
-    assert _auto_block_k(512, 4608, 4608) == 1024   # 1024px: chunked
-    assert _auto_block_k(1024, 2560, 2560) == 1024  # bigger bq shrinks Sk cap
+    assert _auto_block_k(512, 4608, 4608) == 4608   # 1024px: full-K (measured)
+    assert _auto_block_k(512, 8192, 8192) == 1024   # beyond budget: chunked
+    assert _auto_block_k(1024, 4608, 4608) == 1024  # bigger bq shrinks Sk cap
     # tiny S caps the effective bq (kernel clamps bq to S)
-    assert _auto_block_k(512, 64, 8192) == 8192
+    assert _auto_block_k(512, 64, 16384) == 16384
