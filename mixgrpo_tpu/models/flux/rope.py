@@ -21,8 +21,10 @@ with per-axis frequencies theta^(-2j/d).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,12 +69,31 @@ def rope_tables(
     return jnp.concatenate(cos_parts, axis=-1), jnp.concatenate(sin_parts, axis=-1)
 
 
+@functools.lru_cache(maxsize=8)
+def _pair_rotation_matrix(d: int):
+    """(D, D) matrix R with x @ R = interleave(-x_odd, x_even).
+
+    Each column has exactly one ±1 entry, so the matmul is numerically
+    EXACT (a signed permutation) — and it runs on the MXU in the same
+    D-minor layout the attention kernel consumes.  The elementwise
+    formulation (reshape to (..., D/2, 2) + stack) forces Mosaic lane
+    re-interleaving: profiled at ~7 ms of f32 relayout copies per
+    full-depth 720px forward (scripts/analyze_profile.py, round 3)."""
+    eye = np.eye(d // 2, dtype=np.float32)
+    R = np.zeros((d, d), np.float32)
+    R[1::2, 0::2] = -eye  # out[2i]   = -x[2i+1]
+    R[0::2, 1::2] = eye   # out[2i+1] =  x[2i]
+    R.setflags(write=False)
+    return R  # numpy, NOT jnp: a cached device array would leak tracers
+              # across jit/scan scopes (asarray at the use site is free)
+
+
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """Rotate adjacent feature pairs. x: (..., S, D); cos/sin: (S, D)."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    x_pair = xf.reshape(*xf.shape[:-1], -1, 2)
-    x_even, x_odd = x_pair[..., 0], x_pair[..., 1]
-    rotated = jnp.stack([-x_odd, x_even], axis=-1).reshape(xf.shape)
+    rotated = jnp.matmul(
+        xf, jnp.asarray(_pair_rotation_matrix(x.shape[-1])),
+        preferred_element_type=jnp.float32)
     out = xf * cos + rotated * sin
     return out.astype(dtype)
