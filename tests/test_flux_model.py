@@ -244,3 +244,19 @@ def test_pad_seq_alignment_is_exact(attn_impl):
     np.testing.assert_allclose(
         np.asarray(padded), np.asarray(plain), rtol=2e-4, atol=2e-4
     )
+
+
+def test_rope_matmul_rotation_matches_interleave_reference():
+    """apply_rope's signed-permutation matmul is EXACT vs the pairwise
+    interleave formulation (each R column has one +-1 entry)."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 4, 20, 32)).astype(np.float32)
+    ang = rng.normal(size=(20, 32)).astype(np.float32)
+    cos, sin = np.cos(ang), np.sin(ang)
+
+    xp = x.reshape(2, 4, 20, 16, 2)
+    rot = np.stack([-xp[..., 1], xp[..., 0]], -1).reshape(x.shape)
+    want = x * cos + rot * sin
+    got = np.asarray(apply_rope(jnp.asarray(x), jnp.asarray(cos),
+                                jnp.asarray(sin)))
+    np.testing.assert_array_equal(got, want)
