@@ -45,7 +45,7 @@ run serve_recipe 3600 python scripts/bench_serve.py --mode recipe
 #    output across 57 block applications needs ~21 GB > HBM, so the
 #    memory planner rejects it).  `full` remat (2.84 s / 4 pairs) is the
 #    feasible full-depth policy; dots remains the right lever at real
-#    resident depths (measured ~11%% faster in the depth-(1,2) trainer).
+#    resident depths (measured ~11% faster in the depth-(1,2) trainer).
 
 # 2. update-path attention tuning: fwd+bwd block sweep at the 512px
 #    joint length (S=1536) where the update spends its attention time.
