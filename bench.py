@@ -127,9 +127,14 @@ def main():
     # applications) forward on the real chip
     t_full = _time_forward(step, params, img, n=4)
     imgs_per_sec = 1.0 / (STEPS * t_full)
-    # opt-in int8 rollout mode (--rollout_quant int8, ops/quant.py)
-    t_int8 = _time_forward(step, qparams, img, n=4)
-    int8_imgs_per_sec = 1.0 / (STEPS * t_int8)
+    # opt-in int8 rollout mode (--rollout_quant int8, ops/quant.py).
+    # Secondary metric: a failure here (e.g. the tunnel wedging during
+    # the second long compile) must not lose the measured bf16 headline.
+    try:
+        t_int8 = _time_forward(step, qparams, img, n=4)
+        int8_imgs_per_sec = round(1.0 / (STEPS * t_int8), 4)
+    except Exception:  # noqa: BLE001
+        int8_imgs_per_sec = None
 
     S = TEXT_LEN + (HEIGHT // 16) ** 2
     # Per-TOKEN matmul params only (adaLN modulation heads act on the
@@ -163,7 +168,7 @@ def main():
         "mfu": round(mfu, 4),
         "vs_baseline_basis": "measured MFU / assumed 0.40 reference GPU MFU"
                              " (no published reference numbers)",
-        "int8_rollout_value": round(int8_imgs_per_sec, 4),
+        "int8_rollout_value": int8_imgs_per_sec,
         "int8_rollout_note": "opt-in --rollout_quant int8 behavior policy"
                              " (ops/quant.py); same measured full-depth"
                              " method; bf16 is the default/headline",
