@@ -312,3 +312,22 @@ def test_tiled_decode_passthrough_and_real_path():
     out = np.asarray(f(params, lat2))
     assert out.shape == (1, 17, 64, 64, 3)
     assert np.isfinite(out).all()
+
+
+def test_video_tiling_even_starts_and_ramp():
+    from mixgrpo_tpu.models.video_tiling import even_starts, ramp1d
+
+    # full coverage, full-sized tiles, monotonic, both edges pinned
+    for size, tile, stride, lo in [(9, 4, 3, 1), (17, 16, 12, 1),
+                                   (33, 16, 12, 0), (5, 8, 6, 0)]:
+        starts = even_starts(size, tile, stride, lo)
+        assert starts[0] == lo
+        if size - lo > tile:
+            assert starts[-1] == size - tile
+        assert all(s + min(tile, size - lo) <= size for s in starts)
+        assert starts == sorted(starts)
+    # ramps: interior tiles taper on both sides, border tiles stay at 1
+    w = np.asarray(ramp1d(10, 4, first=False, last=False))
+    assert w[0] < w[1] < w[3] and w[4] == w[5] == 1.0 and w[-1] < w[-2]
+    b = np.asarray(ramp1d(10, 4, first=True, last=True))
+    np.testing.assert_array_equal(b, np.ones(10))
