@@ -23,16 +23,30 @@ bf16 with sequential 25-step sampling):
 so >1.0 means this implementation extracts more of its chip than the
 reference stack extracts of its GPU on the same recipe.
 
+Reliability (round 4, after BENCH_r03 harvested rc=1 on a dead tunnel):
+``python bench.py`` now runs a SUPERVISOR that executes the measurement
+in a child process (``--child``) with a hard timeout, retrying with
+backoff on any failure — backend-init errors, wedged-tunnel hangs, or
+invalid timing triples.  In-process retry cannot recover a failed
+backend (JAX caches the backend object), so each retry is a fresh
+process.  The child pre-flights a 1 s smoke program, validates every
+timing triple (mixgrpo_tpu/utils/timing.py), keeps each device
+execution bounded (< ~3 s per call at n=4), and re-runs the smoke
+program after measuring so a worker killed *by* the run is detected
+here rather than at the next harvest.
+
 Timing notes: on the tunneled axon backend ``block_until_ready`` does not
 synchronize, and every distinct jit is compiled remotely (minutes).  We use
 one jitted program with a *traced* loop bound, chain iterations through the
 data to defeat loop-invariant hoisting, end timing with a scalar host
-fetch, and difference two loop lengths to cancel the fixed tunnel overhead.
-A persistent compilation cache makes repeat runs fast.
+fetch, and difference loop lengths (0, n, 2n) to cancel the fixed tunnel
+overhead.  A persistent compilation cache makes repeat runs fast.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -42,6 +56,12 @@ FULL_DD, FULL_DS = 19, 38
 HEIGHT = 512
 TEXT_LEN = 512
 STEPS = 25
+
+# supervisor policy: fresh-process attempts with backoff.  The first cold
+# attempt may remote-compile for minutes; later attempts hit .jax_cache.
+ATTEMPTS = 3
+CHILD_TIMEOUT_S = [2400, 1500, 1500]
+BACKOFF_S = [30, 120]
 
 
 def _enable_compile_cache():
@@ -100,6 +120,8 @@ def _time_forward(step, params, img, n=10):
     import jax
     import jax.numpy as jnp
 
+    from mixgrpo_tpu.utils.timing import robust_slope
+
     @jax.jit
     def run(params, z, m):
         def body(i, z):
@@ -115,13 +137,19 @@ def _time_forward(step, params, img, n=10):
         float(run(params, img, m))
         return time.time() - t0
 
-    # slope over multiple points cancels the fixed tunnel overhead robustly
-    t0, t1, t2 = timed(0), timed(n), timed(2 * n)
-    return (t2 - t0) / (2 * n)
+    # slope over (0, n, 2n) cancels the fixed tunnel overhead; the triple
+    # is validated (monotone, positive slope) and retried under jitter
+    res = robust_slope(timed, n, retries=4)
+    if not res.valid:
+        raise RuntimeError(f"timing never settled: {res.reason}")
+    return res.per_iter_s
 
 
-def main():
+def _child():
+    from mixgrpo_tpu.utils.timing import backend_smoke
+
     _enable_compile_cache()
+    smoke_s = backend_smoke()  # pre-flight: fail fast if the backend is down
     step, params, qparams, img = _build()
     # t_full is the MEASURED wall-clock of one full-depth (19+38 block
     # applications) forward on the real chip
@@ -135,6 +163,10 @@ def main():
         int8_imgs_per_sec = round(1.0 / (STEPS * t_int8), 4)
     except Exception:  # noqa: BLE001
         int8_imgs_per_sec = None
+
+    # post-flight: confirm the worker survived the measurement (a run that
+    # kills the chip must fail HERE, not at the next harvest)
+    backend_smoke()
 
     S = TEXT_LEN + (HEIGHT // 16) ** 2
     # Per-TOKEN matmul params only (adaLN modulation heads act on the
@@ -172,8 +204,66 @@ def main():
         "int8_rollout_note": "opt-in --rollout_quant int8 behavior policy"
                              " (ops/quant.py); same measured full-depth"
                              " method; bf16 is the default/headline",
+        "smoke_s": round(smoke_s, 2),
     }))
 
 
+def _extract_json_line(text: str):
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main():
+    """Supervisor: run the measurement child with timeout + retry/backoff.
+
+    A failed/expired/hung attempt never poisons the next one because each
+    attempt is a new process with a fresh backend handshake.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    errors = []
+    for attempt in range(ATTEMPTS):
+        if attempt > 0:
+            delay = BACKOFF_S[min(attempt - 1, len(BACKOFF_S) - 1)]
+            print(f"[bench] attempt {attempt} failed; retrying in {delay}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(delay)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                capture_output=True, text=True, cwd=here,
+                timeout=CHILD_TIMEOUT_S[min(attempt, len(CHILD_TIMEOUT_S) - 1)],
+            )
+        except subprocess.TimeoutExpired:
+            errors.append(f"attempt {attempt + 1}: child timeout")
+            continue
+        payload = _extract_json_line(proc.stdout)
+        if proc.returncode == 0 and payload is not None:
+            print(json.dumps(payload))
+            return 0
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+        errors.append(
+            f"attempt {attempt + 1}: rc={proc.returncode} "
+            + " | ".join(tail[-3:])[:400]
+        )
+    print(json.dumps({
+        "metric": "rollout_images_per_sec_per_chip_512px_fluxdev",
+        "value": None,
+        "unit": "img/s/chip",
+        "vs_baseline": None,
+        "error": f"all {ATTEMPTS} attempts failed (TPU backend/tunnel down?)",
+        "attempts": errors,
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        _child()
+    else:
+        sys.exit(main())

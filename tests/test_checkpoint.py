@@ -60,6 +60,76 @@ def test_async_save_restores_after_close(tmp_path):
     mgr2.close()
 
 
+def test_async_save_overlaps_next_training_step(tmp_path, monkeypatch):
+    """The async save must not stall the training loop (VERDICT r3 item 6).
+
+    Simulates slow storage by delaying Orbax's background commit callback
+    (the thread that finalizes the checkpoint directory), then asserts:
+    (1) ``save(blocking=False)`` returns immediately, (2) the next
+    training step runs to completion while the save is still in flight
+    (``is_saving_in_progress()`` is True after the step finishes), and
+    (3) ``close()`` joins the delayed commit cleanly and the checkpoint
+    is durable and correct afterwards.  This replaces the round-3 PERF.md
+    assertion ("on pod-local disks this is seconds, and saves are async
+    past the device_get") with evidence.
+    """
+    import time
+
+    import orbax.checkpoint as ocp
+
+    DELAY = 2.0
+    orig = ocp.AsyncCheckpointer._make_on_commit_callback
+
+    def slow_commit(self, *a, **k):
+        cb = orig(self, *a, **k)
+
+        def delayed():
+            time.sleep(DELAY)  # artificially slow storage finalize
+            cb()
+
+        return delayed
+
+    monkeypatch.setattr(
+        ocp.AsyncCheckpointer, "_make_on_commit_callback", slow_commit
+    )
+
+    cfg = FluxConfig.tiny()
+    params = init_flux(jax.random.key(2), cfg)
+    step_fn = jax.jit(
+        lambda p: jax.tree.map(lambda x: x - 1e-3 * x, p)
+    )
+    jax.block_until_ready(step_fn(params))  # compile outside the timed region
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    t0 = time.monotonic()
+    mgr.save(1, params, blocking=False)
+    save_return_s = time.monotonic() - t0
+    assert save_return_s < DELAY / 2, (
+        f"non-blocking save stalled the trainer for {save_return_s:.2f}s"
+    )
+
+    # the NEXT TRAINING STEP completes while the save thread still runs
+    new_params = jax.block_until_ready(step_fn(params))
+    assert mgr._mgr.is_saving_in_progress(), (
+        "save finished before the next step — overlap not exercised; "
+        "raise DELAY"
+    )
+
+    t1 = time.monotonic()
+    mgr.close()  # joins the delayed background commit
+    assert time.monotonic() - t1 > DELAY / 4  # close really waited for it
+
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    p2, _, _, step = mgr2.restore(
+        params_template=jax.tree.map(jnp.zeros_like, params)
+    )
+    assert step == 1
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    mgr2.close()
+    del new_params
+
+
 def test_safetensors_export_reload(tmp_path):
     cfg = FluxConfig.tiny()
     params = init_flux(jax.random.key(1), cfg)
