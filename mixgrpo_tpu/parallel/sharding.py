@@ -81,6 +81,11 @@ def _spec_for(path_s: str, ndim: int, shape, mesh: Mesh) -> P:
                     continue
                 size = mesh.shape[ax] if isinstance(ax, str) else 1
                 out.append(ax if size > 1 and dim % size == 0 else None)
+            # canonical form: no trailing Nones.  jit's lowering cache keys
+            # on exact spec equality and GSPMD emits canonical specs, so
+            # P(None,) vs P() would recompile consumers across an update.
+            while out and out[-1] is None:
+                out.pop()
             return P(*out)
     return P()
 
@@ -98,6 +103,53 @@ def flux_param_specs(params: Any, mesh: Mesh) -> Any:
 def shard_params(params: Any, mesh: Mesh) -> Any:
     """Place (and shard) a param pytree on the mesh."""
     return jax.device_put(params, flux_param_specs(params, mesh))
+
+
+def shard_opt_state(opt_state: Any, mesh: Mesh) -> Any:
+    """Eagerly place a fresh optimizer state on the mesh by the param rules.
+
+    ``optax``'s ``init`` builds ``mu``/``nu`` with ``zeros_like(params)``
+    (inheriting the param shardings) but creates scalar state (``count``)
+    as single-device arrays; a jitted update step then returns those
+    replicated, which changes the call signature and recompiles the whole
+    full-depth update once.  mu/nu leaf paths carry the param paths as
+    suffixes, so the same rule table applies.
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state)
+    out = [
+        jax.device_put(
+            v,
+            NamedSharding(mesh, _spec_for(_path_str(p), v.ndim, v.shape, mesh)),
+        )
+        for p, v in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def constrain_params_sharding(params: Any) -> Any:
+    """Pin a param-structured pytree (params or grads) to the rule shardings
+    inside jit; no-op without an installed activation mesh.
+
+    Without this, the grads coming out of ``jax.grad`` carry whatever
+    shardings GSPMD propagated through the backward, and the updated
+    params inherit them — the recipe-shape dryrun measured 33/52 leaves
+    drifting off the FSDP rules after one update, which both recompiles
+    every other program consuming params (rollout) and abandons the
+    designed weight layout.  Constraining grads + outputs keeps the whole
+    train state on the rule shardings across steps.
+    """
+    mesh = _ACT_MESH[0]
+    if mesh is None:
+        return params
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = [
+        jax.lax.with_sharding_constraint(
+            v,
+            NamedSharding(mesh, _spec_for(_path_str(p), v.ndim, v.shape, mesh)),
+        )
+        for p, v in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def data_spec(mesh: Mesh, ndim: int, batch_axes=("dp", "fsdp")) -> NamedSharding:

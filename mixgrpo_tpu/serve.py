@@ -9,7 +9,10 @@ size.  This module provides that:
   incoming requests into micro-batches of the compiled batch size
   (padding the tail), so every request rides the same jitted rollout
   program — **no recompiles, one dispatch per batch**, and the MXU sees
-  a full batch even under ragged arrival.
+  a full batch even under ragged arrival.  With the optional LATENCY
+  TIER (``generate_fn_single``) a request that arrives alone rides a
+  second batch-1 compiled program instead of a padded batch, putting
+  concurrency-1 p50 at ~1x image time; exactly two programs exist.
 - ``InferenceServer``: stdlib ThreadingHTTPServer.  ``POST /generate``
   with ``{"prompt": str, "seed": int?}`` returns the PNG (or base64 JSON
   with ``"format": "json"``); ``GET /healthz`` liveness; ``GET /stats``
@@ -59,13 +62,27 @@ class RequestBatcher:
         generate_fn: Callable[[Sequence[str], Sequence[int]], np.ndarray],
         batch_size: int = 4,
         max_wait_ms: float = 50.0,
+        generate_fn_single: Optional[
+            Callable[[Sequence[str], Sequence[int]], np.ndarray]
+        ] = None,
     ):
+        """``generate_fn_single``, when given, is the LATENCY TIER: a
+        second compiled program at batch 1.  A request that arrives alone
+        (queue empty after ``max_wait_ms``) rides it instead of paying
+        ``batch_size - 1`` padded rows — p50 at concurrency 1 drops from
+        ~batch-time to ~1x image time.  Under load, co-batches still ride
+        the batched program, so burst throughput is unchanged.  Exactly
+        two programs are ever compiled (shapes are static for XLA); at
+        FLUX sizes B=1 already saturates the MXU (PERF.md batched-forward
+        row) so the tier costs no meaningful throughput even when it
+        fires."""
         self.generate_fn = generate_fn
+        self.generate_fn_single = generate_fn_single
         self.batch_size = batch_size
         self.max_wait_s = max_wait_ms / 1e3
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
-                      "errors": 0}
+                      "errors": 0, "single_dispatches": 0}
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -116,13 +133,17 @@ class RequestBatcher:
             if not batch:
                 continue
             n = len(batch)
-            pad = self.batch_size - n
+            use_single = n == 1 and self.generate_fn_single is not None
+            pad = 0 if use_single else self.batch_size - n
             prompts = [r.prompt for r in batch] + [batch[-1].prompt] * pad
             seeds = [r.seed for r in batch] + [batch[-1].seed] * pad
+            fn = self.generate_fn_single if use_single else self.generate_fn
             try:
-                images = np.asarray(self.generate_fn(prompts, seeds))
+                images = np.asarray(fn(prompts, seeds))
                 for i, r in enumerate(batch):
                     r.image = images[i]
+                if use_single:
+                    self.stats["single_dispatches"] += 1
             except Exception as e:  # surface to all waiters, keep serving
                 self.stats["errors"] += 1
                 for r in batch:
@@ -277,6 +298,11 @@ def main():
     p.add_argument("--max_steps_per_call", type=int, default=None,
                    help="bound one device execution to N sampling steps "
                         "(chunked segments; same compiled program)")
+    p.add_argument("--latency_tier", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="also compile a batch-1 program; lone requests "
+                        "ride it (p50 at concurrency 1 ~= 1x image time "
+                        "instead of ~batch time)")
     args = p.parse_args()
 
     import os
@@ -311,9 +337,13 @@ def main():
         max_steps_per_call=args.max_steps_per_call,
     )
     encoder = build_prompt_encoder_from_dir(args.model_path)
+    gen = make_generate_fn(pipe, encoder)  # PromptEncoder is callable
     batcher = RequestBatcher(
-        make_generate_fn(pipe, encoder),  # PromptEncoder is callable
+        gen,
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
+        # same code path at batch 1: the pipeline compiles one extra
+        # program for the (1, ...) shapes on first lone request
+        generate_fn_single=gen if args.latency_tier else None,
     )
     with InferenceServer(batcher, port=args.port) as srv:
         print(f"serving on :{srv.port} (batch={args.batch_size})")

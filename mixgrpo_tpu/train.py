@@ -140,7 +140,14 @@ class GRPOTrainer:
                 lambda base, f: apply_lora(base, {**self.lora_meta, "factors": f})
             )
         else:
-            self.opt_state = self.optimizer.init(self.params)
+            from mixgrpo_tpu.parallel.sharding import shard_opt_state
+
+            # mesh-placed by the param rules so the first update_step output
+            # has the same signature (optax.init leaves scalar state on one
+            # device, which would recompile the full-depth update once)
+            self.opt_state = shard_opt_state(
+                self.optimizer.init(self.params), self.mesh
+            )
             self.update_step, self.accum_step, self.apply_step = make_update_fns(
                 self.flux_cfg, self.sampler_cfg, cfg.ppo_config(), self.optimizer,
                 self.sampler.rope_cos, self.sampler.rope_sin,

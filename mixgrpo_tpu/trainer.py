@@ -125,12 +125,24 @@ def make_update_fns(
         )
         return loss, metrics
 
+    # Pin grads and updated params to the FSDP/TP rule shardings (no-op
+    # without a mesh): the backward's GSPMD-propagated grad shardings
+    # otherwise leak into the updated params, recompiling the rollout and
+    # abandoning the designed layout after the first step (caught by
+    # __graft_entry__._dryrun_recipe_shape).
+    from mixgrpo_tpu.parallel.sharding import constrain_params_sharding
+
     def update_step(params, opt_state, batch: UpdateBatch, sigmas):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, sigmas
         )
+        grads = constrain_params_sharding(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = constrain_params_sharding(optax.apply_updates(params, updates))
+        # opt_state leaves (mu/nu) carry the param paths as suffixes, so the
+        # same rules pin them — otherwise the next call sees new opt_state
+        # shardings and recompiles the full-depth update once
+        opt_state = constrain_params_sharding(opt_state)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, metrics
@@ -141,13 +153,17 @@ def make_update_fns(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, sigmas
         )
-        grad_acc = jax.tree.map(lambda a, g: a + g * weight, grad_acc, grads)
+        grads = constrain_params_sharding(grads)
+        grad_acc = constrain_params_sharding(
+            jax.tree.map(lambda a, g: a + g * weight, grad_acc, grads)
+        )
         return grad_acc, metrics
 
     def apply_step(params, opt_state, grad_acc):
         updates, opt_state = optimizer.update(grad_acc, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        zero = jax.tree.map(jnp.zeros_like, grad_acc)
+        params = constrain_params_sharding(optax.apply_updates(params, updates))
+        opt_state = constrain_params_sharding(opt_state)
+        zero = constrain_params_sharding(jax.tree.map(jnp.zeros_like, grad_acc))
         return params, opt_state, zero, optax.global_norm(grad_acc)
 
     return (

@@ -39,10 +39,14 @@ def main():
 
     from mixgrpo_tpu.ops.attention import _xla_attention
     from mixgrpo_tpu.ops.flash_attention import flash_attention
+    from mixgrpo_tpu.utils.timing import robust_slope
 
     B, H, D = 1, 24, 128
     peak = 197e12
 
+    # robust_slope validates the (0, n, 2n) triple and retries — round 3
+    # recorded fwd_ms=-1.425 under tunnel jitter; an invalid measurement
+    # now lands in the row as {"valid": false} instead of a garbage number
     def timed(fn, q, k, v, n):
         @jax.jit
         def run(q, k, v, m):
@@ -52,10 +56,13 @@ def main():
             return jax.lax.fori_loop(0, m, body, q).astype(jnp.float32).mean()
 
         float(run(q, k, v, 1))  # compile + warm
-        t0 = time.time(); float(run(q, k, v, 0)); base = time.time() - t0
-        t0 = time.time(); float(run(q, k, v, n)); t1 = time.time() - t0
-        t0 = time.time(); float(run(q, k, v, 2 * n)); t2 = time.time() - t0
-        return (t2 - base) / (2 * n)
+
+        def once(m):
+            t0 = time.time()
+            float(run(q, k, v, m))
+            return time.time() - t0
+
+        return robust_slope(once, n, retries=3)
 
     def timed_bwd(fn, q, k, v, n):
         g = jax.grad(lambda q, k, v: jnp.sum(fn(q, k, v) ** 2), (0, 1, 2))
@@ -68,10 +75,13 @@ def main():
             return jax.lax.fori_loop(0, m, body, q).astype(jnp.float32).mean()
 
         float(run(q, k, v, 1))
-        t0 = time.time(); float(run(q, k, v, 0)); base = time.time() - t0
-        t0 = time.time(); float(run(q, k, v, n)); t1 = time.time() - t0
-        t0 = time.time(); float(run(q, k, v, 2 * n)); t2 = time.time() - t0
-        return (t2 - base) / (2 * n)
+
+        def once(m):
+            t0 = time.time()
+            float(run(q, k, v, m))
+            return time.time() - t0
+
+        return robust_slope(once, n, retries=3)
 
     for S in (int(s) for s in args.seqs.split(",")):
         ks = jax.random.split(jax.random.key(S), 3)
@@ -79,28 +89,43 @@ def main():
                    for kk in ks)
         flops_fwd = 4 * B * H * S * S * D  # qk^T + pv
         rows = []
+
+        def fwd_fields(res):
+            if not res.valid:
+                return {"valid": False, "invalid_reason": res.reason,
+                        "fwd_ms": None}
+            t = res.per_iter_s
+            return {"valid": True, "fwd_ms": round(t * 1e3, 3),
+                    "fwd_tfs": round(flops_fwd / t / 1e12, 1),
+                    "fwd_mfu": round(flops_fwd / t / peak, 3)}
+
+        def bwd_fields(res):
+            if not res.valid:
+                return {"fwdbwd_ms": None, "fwdbwd_valid": False,
+                        "fwdbwd_invalid_reason": res.reason}
+            tb = res.per_iter_s
+            return {"fwdbwd_ms": round(tb * 1e3, 3),
+                    "fwdbwd_tfs": round(3.5 * flops_fwd / tb / 1e12, 1)}
+
         if args.xla:
-            t = timed(lambda q, k, v: _xla_attention(q, k, v), q, k, v, args.n)
-            rows.append({"impl": "xla", "fwd_ms": round(t * 1e3, 3),
-                         "fwd_tfs": round(flops_fwd / t / 1e12, 1)})
+            row = {"impl": "xla"}
+            row.update(fwd_fields(
+                timed(lambda q, k, v: _xla_attention(q, k, v), q, k, v, args.n)
+            ))
+            row.pop("fwd_mfu", None)
             if args.bwd:
-                tb = timed_bwd(lambda q, k, v: _xla_attention(q, k, v),
-                               q, k, v, args.n)
-                rows[-1]["fwdbwd_ms"] = round(tb * 1e3, 3)
+                row.update(bwd_fields(timed_bwd(
+                    lambda q, k, v: _xla_attention(q, k, v), q, k, v, args.n)))
+            rows.append(row)
         for bq in (int(x) for x in args.block_q.split(",")):
             for bk_s in args.block_k.split(","):
                 bk = None if bk_s == "full" else int(bk_s)
                 fn = lambda q, k, v, bq=bq, bk=bk: flash_attention(
                     q, k, v, block_q=bq, block_k=bk)
-                t = timed(fn, q, k, v, args.n)
-                row = {"impl": f"pallas bq={bq} bk={bk_s}",
-                       "fwd_ms": round(t * 1e3, 3),
-                       "fwd_tfs": round(flops_fwd / t / 1e12, 1),
-                       "fwd_mfu": round(flops_fwd / t / peak, 3)}
+                row = {"impl": f"pallas bq={bq} bk={bk_s}"}
+                row.update(fwd_fields(timed(fn, q, k, v, args.n)))
                 if args.bwd:
-                    tb = timed_bwd(fn, q, k, v, args.n)
-                    row["fwdbwd_ms"] = round(tb * 1e3, 3)
-                    row["fwdbwd_tfs"] = round(3.5 * flops_fwd / tb / 1e12, 1)
+                    row.update(bwd_fields(timed_bwd(fn, q, k, v, args.n)))
                 rows.append(row)
         print(json.dumps({"S": S, "rows": rows}), flush=True)
 

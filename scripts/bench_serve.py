@@ -94,15 +94,28 @@ def main():
         ]).astype(np.float32)
         return txt, pooled
 
+    gen = make_generate_fn(pipe, encode)
     batcher = RequestBatcher(
-        make_generate_fn(pipe, encode), batch_size=BATCH, max_wait_ms=100.0
+        gen, batch_size=BATCH, max_wait_ms=100.0,
+        # latency tier: lone requests ride a batch-1 compiled program
+        generate_fn_single=gen,
     )
     lat_lock = threading.Lock()
     latencies = []
     with InferenceServer(batcher, host="127.0.0.1", port=0) as srv:
-        # warm: compile the rollout + noise programs
+        # warm: compile batch-1 (lone submit) and batch-BATCH programs
         t0 = time.time()
         batcher.submit("warmup", 0)
+        t_compile_single = time.time() - t0
+        t0 = time.time()
+        warm_threads = [
+            threading.Thread(target=batcher.submit, args=(f"warm{i}", i))
+            for i in range(BATCH)
+        ]
+        for t in warm_threads:
+            t.start()
+        for t in warm_threads:
+            t.join()
         t_compile = time.time() - t0
 
         def call(i):
@@ -127,8 +140,18 @@ def main():
         for t in threads:
             t.join()
         wall = time.time() - t0
+
+        # latency tier: sequential requests at concurrency 1 must land at
+        # ~1x image time (VERDICT r3 item 4), not ~batch time
+        single_lat = []
+        n_single = 3 if args.mode == "recipe" else 6
+        for i in range(n_single):
+            t1 = time.time()
+            batcher.submit(f"solo{i}", 1000 + i)
+            single_lat.append(time.time() - t1)
         stats = dict(batcher.stats)
 
+    single_lat = np.sort(np.asarray(single_lat))
     lat = np.sort(np.asarray(latencies))
     print(json.dumps({
         "metric": (
@@ -141,10 +164,14 @@ def main():
         "req_per_s": round(n_req / wall, 3),
         "latency_p50_s": round(float(lat[len(lat) // 2]), 2),
         "latency_p95_s": round(float(lat[min(len(lat) - 1, int(len(lat) * 0.95))]), 2),
+        "latency_tier_p50_concurrency1_s": round(
+            float(single_lat[len(single_lat) // 2]), 2
+        ),
+        "single_dispatches": stats["single_dispatches"],
         "batches": stats["batches"],
         "padded_rows": stats["padded_rows"],
         "errors": stats["errors"],
-        "compile_plus_first_s": round(t_compile, 1),
+        "compile_plus_first_s": round(t_compile + t_compile_single, 1),
         "note": (
             f"batch={BATCH}, {STEPS}-step latent-only pipeline"
             + (f", mixed-model switch at step {MIX} (inference_flux.sh:28-30)"

@@ -20,8 +20,19 @@ import time
 
 sys.path.insert(0, ".")
 
+# CPU harness: tiny models, many tiny programs — remote TPU compiles would
+# dominate, and the axon sitecustomize overrides JAX_PLATFORMS=cpu from the
+# env, so force the platform through jax.config before any backend init.
+import jax  # noqa: E402
 
-def build(tmp, lr, steps, strategy="part", seed=714, rollout_quant="none"):
+try:
+    jax.config.update("jax_platforms", "cpu")
+except RuntimeError:
+    pass  # backend already initialized (e.g. under tests)
+
+
+def build(tmp, lr, steps, strategy="part", seed=714, rollout_quant="none",
+          flaky=None, mix="advantage_aggr"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -62,11 +73,40 @@ def build(tmp, lr, steps, strategy="part", seed=714, rollout_quant="none"):
         r = np.asarray(images01, np.float64).mean(axis=(1, 2, 3))
         return {"synthetic": r}, {"synthetic": np.ones_like(r)}
 
+    reward_fn, weights = brightness, {"synthetic": 1.0}
+    if flaky is not None:
+        # VERDICT r3 item 7: a second reward model that fails intermittently.
+        # On failure its score slot holds extreme garbage (what a crashed
+        # scorer / failed HTTP call would leave behind, unified_reward.py
+        # semantics); masked advantage_aggr mixing must keep the learning
+        # curve on the reliable model's signal.  flaky="masked" reports the
+        # true success mask; flaky="unmasked" is the ablation that lies
+        # (success=1 everywhere) so the garbage reaches the advantages.
+        call_counter = {"n": 0}
+
+        def flaky_pair(images01, captions):
+            r = np.asarray(images01, np.float64).mean(axis=(1, 2, 3))
+            # failure pattern depends only on the call index -> identical
+            # across the trained and lr=0 control runs (paired design)
+            rng = np.random.default_rng(10_000 + call_counter["n"])
+            call_counter["n"] += 1
+            ok = (rng.random(r.shape[0]) > 0.4).astype(np.float64)
+            garbage = rng.normal(scale=100.0, size=r.shape[0])
+            flaky_scores = np.where(ok > 0, r, garbage)
+            success = ok if flaky == "masked" else np.ones_like(ok)
+            return (
+                {"synthetic": r, "flaky": flaky_scores},
+                {"synthetic": np.ones_like(r), "flaky": success},
+            )
+
+        reward_fn, weights = flaky_pair, {"synthetic": 1.0, "flaky": 1.0}
+        cfg.reward.multi_reward_mix = mix
+
     trainer = GRPOTrainer(
         cfg, flux_cfg=flux_cfg, vae_cfg=vae_cfg, vae_params=vae_params,
-        reward_fn=brightness, text_len=8, attn_impl="xla", dtype=jnp.float32,
+        reward_fn=reward_fn, text_len=8, attn_impl="xla", dtype=jnp.float32,
     )
-    trainer.reward_weights = {"synthetic": 1.0}
+    trainer.reward_weights = weights
 
     import os
 
@@ -82,7 +122,7 @@ def build(tmp, lr, steps, strategy="part", seed=714, rollout_quant="none"):
     return trainer, loader, cfg
 
 
-def run(trainer, loader, cfg, steps):
+def run(trainer, loader, cfg, steps, key="reward"):
     rewards, times = [], []
     it = iter(loader)
     for _ in range(steps):
@@ -92,7 +132,7 @@ def run(trainer, loader, cfg, steps):
         m = trainer.train_one_step(next(it), ts)
         times.append(time.time() - t0)
         trainer.global_step += 1
-        rewards.append(m["reward"])
+        rewards.append(m[key])
     return rewards, times
 
 
@@ -102,9 +142,53 @@ def main():
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--tmp", default="/tmp/validate_learning")
     ap.add_argument("--rollout_quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--flaky", action="store_true",
+                    help="masked multi-reward validation: add a second "
+                         "reward model that fails on ~40%% of samples with "
+                         "garbage scores; run masked (advantage_aggr + "
+                         "success masks) and unmasked ablation, each with "
+                         "its lr=0 seeded control")
     args = ap.parse_args()
 
     import numpy as np
+
+    if args.flaky:
+        results = {}
+        for mix in ("advantage_aggr", "reward_aggr"):
+            for mode in ("masked", "unmasked"):
+                tr, loader, cfg = build(args.tmp, args.lr, args.steps,
+                                        flaky=mode, mix=mix)
+                rewards, _ = run(tr, loader, cfg, args.steps,
+                                 key="reward/synthetic")
+                tc, loader_c, cfg_c = build(args.tmp, 0.0, args.steps,
+                                            flaky=mode, mix=mix)
+                control, _ = run(tc, loader_c, cfg_c, args.steps,
+                                 key="reward/synthetic")
+                k = max(args.steps // 5, 1)
+                rewards, control = np.asarray(rewards), np.asarray(control)
+                paired = rewards - control
+                results[f"{mix}/{mode}"] = {
+                    "reward_first_k_mean": round(float(np.mean(rewards[:k])), 5),
+                    "reward_last_k_mean": round(float(np.mean(rewards[-k:])), 5),
+                    "improvement": round(float(np.mean(paired[-k:])), 5),
+                    "control_std": round(float(np.std(control)), 5),
+                    "improvement_over_control_std": round(
+                        float(np.mean(paired[-k:]))
+                        / max(float(np.std(control)), 1e-9), 2
+                    ),
+                }
+        print(json.dumps({
+            "experiment": "flaky second reward model (40% failure, garbage "
+                          "scores scale ~100); curve metric = reliable "
+                          "model's reward; each arm paired against its lr=0 "
+                          "seeded control.  advantage_aggr is robust even "
+                          "unmasked (per-model group normalization makes "
+                          "zero-mean garbage benign); reward_aggr REQUIRES "
+                          "the mask (garbage swamps the merged reward).",
+            "steps": args.steps,
+            **results,
+        }, indent=1))
+        return
 
     # trained run
     tr, loader, cfg = build(args.tmp, args.lr, args.steps,

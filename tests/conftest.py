@@ -20,9 +20,16 @@ _USE_HW = os.environ.get("MIXGRPO_TPU_TESTS") == "1"
 
 flags = os.environ.get("XLA_FLAGS", "")
 if not _USE_HW and "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if not _USE_HW and "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
+    # XLA:CPU's concurrency-optimized thunk scheduler lets independent
+    # collectives (an fsdp weight all-gather vs a tp grad all-reduce)
+    # start in different orders on different virtual-device threads —
+    # a rendezvous deadlock cycle, reproduced 3/4 runs at recipe-shape
+    # geometry.  Real TPUs execute in program order; pin the CPU
+    # emulation to the sequential schedule.
+    flags = (flags + " --xla_cpu_enable_concurrency_optimized_scheduler=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

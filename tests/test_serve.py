@@ -76,6 +76,59 @@ def test_batcher_pads_and_reproduces_seeds():
         b.close()
 
 
+def test_latency_tier_routes_lone_requests_to_single_program():
+    """With a batch-1 program configured, a request that arrives alone
+    rides it (no padded rows); concurrent requests still co-batch on the
+    batched program; identical (prompt, seed) reproduces across tiers."""
+
+    def _img(prompts, seeds):
+        out = np.zeros((len(prompts), 4, 4, 3), np.float32)
+        for i, (p, s) in enumerate(zip(prompts, seeds)):
+            out[i, 0, 0, 0] = (hash(p) % 97) / 97.0
+            out[i, 0, 0, 1] = (int(s) % 89) / 89.0
+        return out
+
+    batch_sizes = []
+
+    def gen(prompts, seeds):
+        assert len(prompts) == 4  # the compiled batch shape
+        batch_sizes.append(len(prompts))
+        return _img(prompts, seeds)
+
+    def gen1(prompts, seeds):
+        assert len(prompts) == 1  # the compiled batch-1 shape
+        batch_sizes.append(len(prompts))
+        return _img(prompts, seeds)
+
+    b = RequestBatcher(gen, batch_size=4, max_wait_ms=50.0,
+                       generate_fn_single=gen1)
+    try:
+        lone = b.submit("prompt-1", 101)
+        assert b.stats["single_dispatches"] == 1
+        assert b.stats["padded_rows"] == 0
+        assert batch_sizes == [1]
+
+        results = {}
+        threads = [
+            threading.Thread(
+                target=lambda k, p, s: results.__setitem__(k, b.submit(p, s)),
+                args=(i, f"prompt-{i}", 100 + i),
+            )
+            for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 4 and b.stats["requests"] == 5
+        # every dispatch rode a compiled shape: 1 (single tier) or 4 (padded)
+        assert set(batch_sizes) <= {1, 4}
+        # cross-tier reproducibility: same (prompt, seed), different program
+        np.testing.assert_array_equal(lone, results[1])
+    finally:
+        b.close()
+
+
 def test_batcher_error_surfaces_and_recovers():
     state = {"fail": True}
 

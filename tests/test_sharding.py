@@ -50,7 +50,10 @@ def test_fsdp_sharding_divides_params():
     sharded = shard_params(params, mesh)
     # the big projections must actually be sharded (not replicated)
     qkv = sharded["double"]["img_qkv"]["w"]
-    assert qkv.sharding.spec == P(None, "fsdp", None)
+    # canonical spec: no trailing Nones (tp=1 here, so the tp dim drops and
+    # the spec ends at the fsdp axis) — exact-form stability is what keeps
+    # jit caches warm across update steps
+    assert qkv.sharding.spec == P(None, "fsdp")
     n_shards = len({d for s in qkv.addressable_shards for d in [s.device]})
     assert n_shards == 8
     # values preserved
@@ -189,4 +192,23 @@ def test_no_involuntary_rematerialization_under_tp():
     assert "PROBE_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
     assert "Involuntary full rematerialization" not in r.stderr, (
         "SPMD fell back to full rematerialization:\n" + r.stderr[-4000:]
+    )
+
+
+def test_recipe_shape_dryrun_train_state_sharding_stable():
+    """Recipe-structured geometry (G=12, T=25, window walk, grad-accum 3)
+    on the dp/fsdp/tp mesh: asserts the rollout and update programs each
+    compile exactly once across iterations (no param/opt-state sharding
+    drift — the round-4 regression caught by this dryrun: grads carried
+    GSPMD-propagated shardings into the updated params, 33/52 leaves off
+    the FSDP rules) and that the update's collective structure is
+    geometry-independent.  Delegates to the driver dryrun so the driver
+    and test tiers check the same thing."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    ge._dryrun_recipe_shape(
+        MeshConfig(dp=2, fsdp=2, sp=1, tp=2), jax.devices()[:8]
     )
