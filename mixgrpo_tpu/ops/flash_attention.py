@@ -41,8 +41,17 @@ def _interpret() -> bool:
         return True
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, o_ref, lse_ref, m_scr, l_scr,
-                acc_scr, *, scale, kv_len, block_k):
+def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch, scale,
+                kv_len, block_k, want_lse):
+    if want_lse:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = out_and_scratch
+    else:
+        # primal (no-grad) variant: the rollout/serving forward never uses
+        # the logsumexp, and a pallas output cannot be dead-code-eliminated
+        # by XLA — not emitting it saves a (B*H, S, 128) f32 HBM write per
+        # block application (~1 GB per full-depth forward at 512px)
+        o_ref, m_scr, l_scr, acc_scr = out_and_scratch
+        lse_ref = None
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -81,12 +90,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, o_ref, lse_ref, m_scr, l_scr,
     def _():
         l = l_scr[:, :1]
         o_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[:] + jnp.log(jnp.maximum(l_scr[:], 1e-30))).astype(
-            jnp.float32
-        )
+        if lse_ref is not None:
+            lse_ref[0] = (
+                m_scr[:] + jnp.log(jnp.maximum(l_scr[:], 1e-30))
+            ).astype(jnp.float32)
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kbias_ref,
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
                 dk_ref, dv_ref, dk_scr, dv_scr, *, scale, kv_len, block_k,
                 block_q, q_len):
     qi = pl.program_id(2)
@@ -118,7 +128,13 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kbias_ref,
     dp = jax.lax.dot_general(
         do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BQ, BK)
-    delta = delta_ref[0][:, :1]  # (BQ, 1)
+    # delta = rowsum(o * do), computed here from the o residual tile: a
+    # bf16 (BQ, D) read replaces the f32 (BQ, 128) broadcast-delta read and
+    # retires the separate delta pass entirely (cheap VPU recompute)
+    delta = jnp.sum(
+        o_ref[0].astype(jnp.float32) * do.astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )  # (BQ, 1)
     ds = p * (dp - delta) * scale
     dk_scr[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -131,7 +147,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kbias_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kbias_ref,
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
                dq_ref, dq_scr, *, scale, kv_len, block_k):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -152,7 +168,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kbias_ref,
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    delta = delta_ref[0][:, :1]
+    delta = jnp.sum(
+        o_ref[0].astype(jnp.float32) * do_ref[0].astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )  # (BQ, 1) — see _dkv_kernel
     ds = p * (dp - delta) * scale
     dq_scr[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -188,7 +207,7 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _fwd_impl(q, k, v, kbias, scale, block_q, block_k):
+def _fwd_impl(q, k, v, kbias, scale, block_q, block_k, want_lse=True):
     B, H, S, D = q.shape
     Sk = k.shape[2]
     bq, bk = _block_sizes(block_q, block_k, S, Sk)
@@ -203,8 +222,18 @@ def _fwd_impl(q, k, v, kbias, scale, block_q, block_k):
 
     H_static = H
     grid = (B * H, Sp // bq, Skp // bk)
-    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=Sk, block_k=bk)
-    o, lse = pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=Sk,
+                               block_k=bk, want_lse=want_lse)
+    out_specs = [pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B * H, Sp, D), q.dtype)]
+    if want_lse:
+        out_specs.append(
+            pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((B * H, Sp, _LANES), jnp.float32)
+        )
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -213,14 +242,8 @@ def _fwd_impl(q, k, v, kbias, scale, block_q, block_k):
             pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b // H_static, 0, ki)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B * H, Sp, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Sp, _LANES), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, _LANES), jnp.float32),
             pltpu.VMEM((bq, _LANES), jnp.float32),
@@ -228,12 +251,13 @@ def _fwd_impl(q, k, v, kbias, scale, block_q, block_k):
         ],
         interpret=_interpret(),
     )(qf, kf, vf, kb)
-    return o[:, :S].reshape(B, H, S, D), lse[:, :S]
+    o = res[0][:, :S].reshape(B, H, S, D)
+    return (o, res[1][:, :S]) if want_lse else (o, None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash(q, k, v, kbias, scale, block_q, block_k):
-    o, _ = _fwd_impl(q, k, v, kbias, scale, block_q, block_k)
+    o, _ = _fwd_impl(q, k, v, kbias, scale, block_q, block_k, want_lse=False)
     return o
 
 
@@ -250,15 +274,12 @@ def _flash_bwd(scale, block_q, block_k, res, do):
     Sp = pl.cdiv(S, bq) * bq
     Skp = pl.cdiv(Sk, bk) * bk
 
-    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
-    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, _LANES))
-
     qf = _pad_to(q.reshape(B * H, S, D), Sp, 1)
     kf = _pad_to(k.reshape(B * H, Sk, D), Skp, 1)
     vf = _pad_to(v.reshape(B * H, Sk, D), Skp, 1)
     dof = _pad_to(do.reshape(B * H, S, D), Sp, 1)
+    of = _pad_to(o.reshape(B * H, S, D), Sp, 1)
     lsef = _pad_to(lse.reshape(B * H, S, _LANES), Sp, 1)
-    deltaf = _pad_to(delta.reshape(B * H, S, _LANES), Sp, 1)
     kb = _pad_to(kbias, Skp, 1)[:, None, :]  # (B, 1, Skp) — see _fwd_impl
     H_static = H
 
@@ -274,7 +295,7 @@ def _flash_bwd(scale, block_q, block_k, res, do):
             pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0)),
             pl.BlockSpec((1, bq, D), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, bq, _LANES), lambda b, ki, qi: (b, qi, 0)),
-            pl.BlockSpec((1, bq, _LANES), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, 1, bk), lambda b, ki, qi: (b // H_static, 0, ki)),
         ],
         out_specs=[
@@ -290,7 +311,7 @@ def _flash_bwd(scale, block_q, block_k, res, do):
             pltpu.VMEM((bk, D), jnp.float32),
         ],
         interpret=_interpret(),
-    )(qf, kf, vf, dof, lsef, deltaf, kb)
+    )(qf, kf, vf, dof, lsef, of, kb)
 
     dq_kernel = functools.partial(_dq_kernel, scale=scale, kv_len=Sk, block_k=bk)
     dq = pl.pallas_call(
@@ -302,14 +323,14 @@ def _flash_bwd(scale, block_q, block_k, res, do):
             pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b // H_static, 0, ki)),
         ],
         out_specs=pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Sp, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
         interpret=_interpret(),
-    )(qf, kf, vf, dof, lsef, deltaf, kb)
+    )(qf, kf, vf, dof, lsef, of, kb)
 
     return (
         dq[:, :S].reshape(B, H, S, D),
@@ -335,7 +356,7 @@ def _auto_block_k(block_q: int, S: int, Sk: int) -> int:
     return Sk if bq_eff * Sk * 4 <= 10 * 2**20 else 1024
 
 
-def flash_attention(q, k, v, mask=None, block_q: int = 512, block_k=None):
+def flash_attention(q, k, v, mask=None, block_q=None, block_k=None):
     """Flash attention over (B, H, S, D); optional key-side mask.
 
     ``mask`` may be None (full bidirectional — the FLUX cached-embedding
@@ -345,13 +366,19 @@ def flash_attention(q, k, v, mask=None, block_q: int = 512, block_k=None):
     dependent masks are not supported.  Key-side *padding* from block
     alignment is masked internally.
 
-    ``block_k=None`` auto-selects: a single full-K pass when the fp32
-    (block_q, S_k) score tile fits VMEM (measured 1.3-2x faster than
-    chunked online-softmax at MMDiT shapes — no accumulator churn), else
+    ``block_q=None`` = 512 (measured best at every MMDiT shape: LARGER q
+    blocks — one 1536-row block at S=1536, 1024 at S=2560 — were tried in
+    round 4 and are 15-32% slower; the grid loses pipeline overlap worth
+    more than the saved K/V re-streaming).  ``block_k=None``
+    auto-selects: a single full-K pass when the fp32 (block_q, S_k)
+    score tile fits VMEM (measured 1.3-2x faster than chunked
+    online-softmax at MMDiT shapes — no accumulator churn), else
     1024-wide chunks.
     """
     B, H, S, D = q.shape
     Sk = k.shape[2]
+    if block_q is None:
+        block_q = 512
     if block_k is None:
         block_k = _auto_block_k(block_q, S, Sk)
     if mask is None:

@@ -23,6 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("path", help=".xplane.pb file, or a run dir to search")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--ops", action="store_true",
+                    help="also print the top individual ops (per-fusion "
+                         "granularity, for fusion-mix attribution)")
     args = ap.parse_args()
 
     path = args.path
@@ -84,6 +87,28 @@ def main():
         print("-- op classes: total ms --")
         for k, v in agg.most_common(args.top):
             print(f"{v / 1e6:10.1f}  {k}")
+        if args.ops:
+            # per-op granularity: individual fusions/copies with counts and
+            # any source metadata the capture carries, so a dominant fusion
+            # can be traced back to model code
+            ot = collections.Counter()
+            oc = collections.Counter()
+            meta = {}
+            for e in ops:
+                n = e.name.split(" = ")[0]
+                ot[n] += e.duration_ns
+                oc[n] += 1
+                if n not in meta:
+                    try:
+                        meta[n] = {s.name: s.value for s in e.stats}
+                    except Exception:
+                        meta[n] = {}
+            print(f"-- top {args.top} individual ops: total ms (count) --")
+            for k, v in ot.most_common(args.top):
+                m = meta.get(k, {})
+                src = m.get("source_info") or m.get("tf_op") or ""
+                extra = f"  [{src}]" if src else ""
+                print(f"{v / 1e6:10.2f}  ({oc[k]:5d}x)  {k[:72]}{extra}")
 
 
 if __name__ == "__main__":

@@ -117,12 +117,15 @@ def main():
                 row.update(bwd_fields(timed_bwd(
                     lambda q, k, v: _xla_attention(q, k, v), q, k, v, args.n)))
             rows.append(row)
-        for bq in (int(x) for x in args.block_q.split(",")):
-            for bk_s in args.block_k.split(","):
-                bk = None if bk_s == "full" else int(bk_s)
+        for bq_s in args.block_q.split(","):
+            # "auto" = joint (block_q, block_k) selection (round 4):
+            # full-K with the largest budget-fitting q block
+            bq = None if bq_s == "auto" else int(bq_s)
+            for bk_s in (("auto",) if bq is None else args.block_k.split(",")):
+                bk = None if bk_s in ("full", "auto") else int(bk_s)
                 fn = lambda q, k, v, bq=bq, bk=bk: flash_attention(
                     q, k, v, block_q=bq, block_k=bk)
-                row = {"impl": f"pallas bq={bq} bk={bk_s}"}
+                row = {"impl": f"pallas bq={bq_s} bk={bk_s}"}
                 row.update(fwd_fields(timed(fn, q, k, v, args.n)))
                 if args.bwd:
                     row.update(bwd_fields(timed_bwd(fn, q, k, v, args.n)))
