@@ -24,6 +24,7 @@ The kernel runs in interpret mode on CPU (tests) and compiled on TPU.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -140,6 +141,67 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
+                      dq_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale,
+                      kv_len, block_q, q_len):
+    """Single-pass dq/dk/dv for the full-K case (one K block).
+
+    With the whole key range resident, each q block's dq is complete in
+    one visit, so the separate dq kernel — which recomputes the score
+    matrix and dp from scratch — collapses into the dkv sweep: 5 matmuls
+    (s, dv, dp, dk, dq) instead of 7, and q/do/o/lse tiles stream once
+    instead of twice.  Used whenever the full-K tiles + f32 dk/dv scratch
+    fit VMEM (every training shape through 720px); longer sequences keep
+    the two-kernel path."""
+    qi = pl.program_id(1)
+    nq = pl.num_programs(1)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D) — the full key range
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + kbias_ref[0]  # (BQ, BK)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    valid = jnp.logical_and(col < kv_len, row < q_len)
+
+    lse = lse_ref[0][:, :1]  # (BQ, 1)
+    p = jnp.where(valid, jnp.exp(s - lse), 0.0)  # (BQ, BK)
+
+    do = do_ref[0]  # (BQ, D)
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, BK)
+    delta = jnp.sum(
+        o_ref[0].astype(jnp.float32) * do.astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )  # (BQ, 1) — see _dkv_kernel
+    ds = p * (dp - delta) * scale
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0] = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
 
     @pl.when(qi == nq - 1)
     def _():
@@ -282,6 +344,48 @@ def _flash_bwd(scale, block_q, block_k, res, do):
     lsef = _pad_to(lse.reshape(B * H, S, _LANES), Sp, 1)
     kb = _pad_to(kbias, Skp, 1)[:, None, :]  # (B, 1, Skp) — see _fwd_impl
     H_static = H
+
+    fused_ok = os.environ.get("MIXGRPO_FLASH_FUSED_BWD", "1") != "0"
+    if fused_ok and Skp == bk and bq * Skp * 4 <= 6 * 2**20:
+        # full-K single block at training shapes: one fused pass computes
+        # dq/dk/dv together (see _fused_bwd_kernel)
+        fused = functools.partial(
+            _fused_bwd_kernel, scale=scale, kv_len=Sk, block_q=bq, q_len=S
+        )
+        dq, dk, dv = pl.pallas_call(
+            fused,
+            grid=(B * H, Sp // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0)),
+                pl.BlockSpec((1, bk, D), lambda b, qi: (b, 0, 0)),
+                pl.BlockSpec((1, bk, D), lambda b, qi: (b, 0, 0)),
+                pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0)),
+                pl.BlockSpec((1, bq, _LANES), lambda b, qi: (b, qi, 0)),
+                pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0)),
+                pl.BlockSpec((1, 1, bk), lambda b, qi: (b // H_static, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0)),
+                pl.BlockSpec((1, bk, D), lambda b, qi: (b, 0, 0)),
+                pl.BlockSpec((1, bk, D), lambda b, qi: (b, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B * H, Sp, D), q.dtype),
+                jax.ShapeDtypeStruct((B * H, Skp, D), q.dtype),
+                jax.ShapeDtypeStruct((B * H, Skp, D), q.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk, D), jnp.float32),
+                pltpu.VMEM((bk, D), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(qf, kf, vf, dof, lsef, of, kb)
+        return (
+            dq[:, :S].reshape(B, H, S, D),
+            dk[:, :Sk].reshape(B, H, Sk, D),
+            dv[:, :Sk].reshape(B, H, Sk, D),
+            jnp.zeros_like(kbias),
+        )
 
     dkv_kernel = functools.partial(
         _dkv_kernel, scale=scale, kv_len=Sk, block_k=bk, block_q=bq, q_len=S

@@ -69,9 +69,13 @@ def main():
 
         @jax.jit
         def run(q, k, v, m):
+            # the carry must consume ALL THREE grads: dk/dv come from a
+            # separate pallas_call than dq in the two-kernel path, and a
+            # dq-only carry lets XLA dead-code-eliminate the whole dkv
+            # kernel (measured round 4: fwdbwd "223 TF/s" > chip peak)
             def body(i, q):
                 dq, dk, dv = g(q, k, v)
-                return q + dq.astype(q.dtype) * jnp.bfloat16(1e-6)
+                return q + (dq + dk + dv).astype(q.dtype) * jnp.bfloat16(1e-6)
             return jax.lax.fori_loop(0, m, body, q).astype(jnp.float32).mean()
 
         float(run(q, k, v, 1))

@@ -45,7 +45,7 @@ RECIPE_PAIRS = 48    # 12 samples x window 4
 
 
 def main():
-    global HEIGHT
+    global HEIGHT, GROUP
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant", default="none", choices=["none", "int8"])
     ap.add_argument("--height", type=int, default=HEIGHT,
@@ -70,8 +70,15 @@ def main():
                     help="update-phase checkpoint policy: dots = keep "
                          "profitable dot results, full = recompute "
                          "everything, none = no remat (slice depths only)")
+    ap.add_argument("--group", type=int, default=GROUP,
+                    help="generations per rollout program (B).  B=2 "
+                         "measured faster per image than B=1 (133 vs 141 "
+                         "ms/fwd @512px); larger B probes whether the "
+                         "trend continues before the compile service or "
+                         "HBM gives out")
     args = ap.parse_args()
     HEIGHT = args.height
+    GROUP = args.group
     # "none": run the update at the model's REAL (2,4) depth with no
     # weight-cycling — the cycling gather inside the rematerialized
     # backward is what overwhelms the compile helper — and compose.

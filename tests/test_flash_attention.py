@@ -119,6 +119,27 @@ def test_key_mask_2d_form():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+def test_fused_bwd_matches_two_kernel_path():
+    """Round 4: the full-K single-pass dq/dk/dv kernel (used at training
+    shapes) must produce the same grads as the chunked two-kernel path
+    and as XLA."""
+    q, k, v = _rand_qkv(jax.random.key(9), 2, 3, 160, 64)
+
+    def g(fn):
+        return jax.grad(lambda *a: jnp.sum(fn(*a) ** 2), (0, 1, 2))(q, k, v)
+
+    g_fused = g(lambda *a: flash_attention(*a, block_q=64, block_k=192))
+    g_chunk = g(lambda *a: flash_attention(*a, block_q=64, block_k=64))
+    g_xla = g(_xla_attention)
+    for a, b, c, name in zip(g_fused, g_chunk, g_xla, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"fused vs chunked d{name}")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=f"fused vs xla d{name}")
+
+
 def test_auto_block_k_respects_vmem_budget():
     """Full-K auto-selection must stay inside the ~16MB/core VMEM: the
     fp32 score tile is budgeted at 10MB.  S=4608 (1024px FLUX joint seq)
