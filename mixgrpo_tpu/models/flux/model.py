@@ -25,6 +25,7 @@ TPU-first design choices (vs the reference's per-block Python modules):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -148,6 +149,12 @@ def init_flux(key, cfg: FluxConfig) -> Dict[str, Any]:
 # test hook: force the modular-gather virtual-depth path even when the
 # cycle count divides the stack depth (parity tests gather vs nested scan)
 _FORCE_GATHER = False
+
+# divisible-count virtual depth uses the hand-written cycle_scan VJP
+# (utils/cycle_scan.py): dense in-place block-gradient accumulation
+# instead of the nested-scan transpose's DUS-materialize + whole-stack
+# add (195 ms/update-iter in the 512px profile).  Env-gated for A/B.
+_CYCLE_VJP = os.environ.get("MIXGRPO_CYCLE_VJP", "1") != "0"
 
 
 def _split_heads(x, num_heads):
@@ -332,6 +339,7 @@ def flux_forward(
         )
         return constrain_residual(out), None
 
+    double_body_raw, single_body_raw = double_body, single_body
     if remat:
         # remat=True: full recompute (min memory); remat="dots": XLA may keep
         # profitable dot results (measured ~11% faster update step on v5e)
@@ -351,10 +359,14 @@ def flux_forward(
         kd = jax.tree.leaves(params["double"])[0].shape[0]
         ks = jax.tree.leaves(params["single"])[0].shape[0]
 
-        def cycle_scan(body, carry, stack, n, k):
+        def cycle_scan(body, raw_body, carry, stack, n, k):
             """``n`` block applications cycling a ``k``-deep weight stack.
 
-            When k divides n, nest scans (outer over n//k cycles, inner over
+            When k divides n: the hand-written cycle_scan VJP
+            (utils/cycle_scan.py) — dense in-place block-gradient
+            accumulation, per-block remat by construction (``raw_body``,
+            un-checkpointed, is what it differentiates).  With the VJP
+            disabled, nested scans (outer over n//k cycles, inner over
             the real stack) — no per-step modular weight gather, so the
             rematerialized backward stays a plain scan transpose that the
             compiler handles at full virtual depth (the ``w[i % k]``
@@ -362,6 +374,13 @@ def flux_forward(
             when differentiated; see PERF.md round-2 notes).
             """
             if n % k == 0 and not _FORCE_GATHER:
+                if _CYCLE_VJP:
+                    from mixgrpo_tpu.utils.cycle_scan import (
+                        cycle_scan as cycle_scan_vjp,
+                    )
+
+                    return cycle_scan_vjp(raw_body, carry, stack, n, k)
+
                 def outer(c2, _):
                     c3, _ = jax.lax.scan(body, c2, stack)
                     return c3, None
@@ -376,9 +395,13 @@ def flux_forward(
             carry, _ = jax.lax.scan(gather_body, carry, jnp.arange(n))
             return carry
 
-        (x, c) = cycle_scan(double_body, (x, c), params["double"], vd, kd)
+        (x, c) = cycle_scan(
+            double_body, double_body_raw, (x, c), params["double"], vd, kd
+        )
         joint = jnp.concatenate([c, x], axis=1)
-        joint = cycle_scan(single_body, joint, params["single"], vs, ks)
+        joint = cycle_scan(
+            single_body, single_body_raw, joint, params["single"], vs, ks
+        )
     x = joint[:, c.shape[1] : c.shape[1] + L_img]
 
     scale, shift = L.modulation(params["final_mod"], vec, 2, dtype)
