@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--batches", type=str, default="1,2,4")
+    ap.add_argument("--quant", type=str, default="none",
+                    help="'int8' measures the quantized rollout forward")
     args = ap.parse_args()
 
     _enable_compile_cache()
@@ -53,6 +55,10 @@ def main():
             lambda x: x.astype(jnp.bfloat16), init_flux(k, cfg)
         )
     )(jax.random.key(0))
+    if args.quant == "int8":
+        from mixgrpo_tpu.ops.quant import quantize_flux_params
+
+        params = jax.jit(quantize_flux_params)(params)
     lh = lw = args.height // 8
     ids = np.concatenate([make_text_ids(TEXT_LEN), make_image_ids(lh, lw)])
     cos, sin = rope_tables(ids, cfg.axes_dims)
