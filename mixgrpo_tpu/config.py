@@ -90,6 +90,13 @@ class GRPOConfig:
     # activations — ~2x rollout throughput on TPU MXUs (ops/quant.py); the
     # quantized net is the behavior policy, so PPO ratios stay valid.
     rollout_quant: str = "none"  # none|int8
+    # images per BATCH SHARD per rollout call: the group rollout runs as
+    # G/chunk calls of one compiled program at the measured per-image
+    # batch optimum (B=2 knee: 134.7 ms/img vs 145.5 at one B=12 call,
+    # bench_results/round5/probe_batched_b12.json).  0 = whole group in
+    # one call.  Falls back to one call when the local batch does not
+    # divide (sampler.FluxSampler.chunked_rollout).
+    rollout_chunk: int = 2
 
 
 @dataclasses.dataclass

@@ -148,3 +148,82 @@ class FluxSampler:
             jnp.asarray(num_steps, jnp.int32),
             rng,
         )
+
+    def chunked_rollout(
+        self, params, z0, txt, pooled, sigmas, deterministic, num_steps, rng,
+        *, chunk: Optional[int] = None, mesh=None,
+    ) -> RolloutOutput:
+        """Group rollout in per-device chunks of ``chunk`` images.
+
+        At full weight-cycled depth the per-block HBM weight stream
+        amortizes over the batch with a measured per-image optimum well
+        below the recipe's G=12 (512px: 134.7 ms/img at B=2 vs 145.5 at
+        B=12 — bench_results/round5/probe_batched_b12.json), so the
+        production rollout runs the group as G/chunk calls of the SAME
+        compiled program at the knee instead of one big call.
+
+        Sharding: ``chunk`` counts images PER BATCH SHARD.  Each chunk
+        takes rows [j*chunk, (j+1)*chunk) of every shard's local batch, so
+        chunk selection and reassembly are shard-local reshapes (no
+        collectives); row order of the merged output matches the input.
+        Falls back to the single-call rollout when the local batch does
+        not divide into chunks.  SDE noise folds the chunk index into the
+        rng (a different — equally valid — noise stream than the
+        single-call program).
+        """
+        B = z0.shape[0]
+        nsh = 1
+        axes = ()
+        if mesh is not None:
+            from mixgrpo_tpu.parallel.sharding import batch_axes_for
+
+            axes = batch_axes_for(mesh, B)
+            for a in axes:
+                nsh *= mesh.shape[a]
+        local = B // nsh
+        if not chunk or chunk <= 0 or local <= chunk or local % chunk:
+            return self.rollout(
+                params, z0, txt, pooled, sigmas, deterministic, num_steps, rng
+            )
+        nc = local // chunk
+
+        def _constrain(y):
+            if not axes:
+                return y
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(
+                y, NamedSharding(mesh, P(axes, *([None] * (y.ndim - 1))))
+            )
+
+        def _take(x, j):
+            rest = x.shape[1:]
+            y = _constrain(x).reshape(nsh, nc, chunk, *rest)
+            y = jax.lax.dynamic_index_in_dim(y, j, axis=1, keepdims=False)
+            return _constrain(y.reshape(nsh * chunk, *rest))
+
+        outs = []
+        for j in range(nc):
+            outs.append(
+                self.rollout(
+                    params, _take(z0, j), _take(txt, j), _take(pooled, j),
+                    sigmas, deterministic, num_steps,
+                    jax.random.fold_in(rng, j),
+                )
+            )
+
+        # reassemble: chunk j holds rows [j*chunk, (j+1)*chunk) of each
+        # shard -> stack to (nc, nsh, chunk, ...) and fold back shard-major
+        def _unchunk(field_parts):
+            rest = field_parts[0].shape[1:]
+            y = jnp.stack(
+                [p.reshape(nsh, chunk, *rest) for p in field_parts], axis=1
+            )  # (nsh, nc, chunk, *rest)
+            return _constrain(y.reshape(B, *rest))
+
+        return RolloutOutput(
+            final_latents=_unchunk([o.final_latents for o in outs]),
+            all_latents=_unchunk([o.all_latents for o in outs]),
+            all_log_probs=_unchunk([o.all_log_probs for o in outs]),
+            step_valid=outs[0].step_valid,
+        )

@@ -323,8 +323,9 @@ class GRPOTrainer:
 
         t0 = time.time()
         with self.mesh:
-            out = self.sampler.rollout(
-                rollout_params, z0, txt, pooled, sigmas, det, num_steps, k_roll
+            out = self.sampler.chunked_rollout(
+                rollout_params, z0, txt, pooled, sigmas, det, num_steps, k_roll,
+                chunk=cfg.grpo.rollout_chunk, mesh=self.mesh,
             )
             if self._decode is not None:
                 images01 = self._decode(self.vae_params, out.final_latents)

@@ -71,10 +71,14 @@ def main():
     def fwd_variant(variant, params, z, t):
         """flux_forward at virtual depth with a chosen weight-cycle impl."""
         if variant == "scan":
+            # pad_seq_multiple=0: the reimplemented trunks below run the
+            # joint sequence unpadded, so the production padding (applied
+            # at e.g. 720px -> S=2537) would confound the weight-delivery
+            # timing comparison with a different sequence layout
             return flux_forward(
                 params, cfg, z, txt, pooled, t, jnp.full((B,), 3.5), cos,
                 sin, dtype=jnp.bfloat16, attn_impl="auto", remat=False,
-                virtual_depth=(FULL_DD, FULL_DS),
+                virtual_depth=(FULL_DD, FULL_DS), pad_seq_multiple=0,
             )
         # reimplement the trunk with alternate cycle delivery (embedders /
         # final layer identical to flux_forward, model.py:307-409)
@@ -129,7 +133,37 @@ def main():
             carry, _ = jax.lax.scan(gb, carry, jnp.arange(n))
             return carry
 
-        cyc = prefetch_cycle if variant == "prefetch" else gather_cycle
+        def gather_unroll2(body, carry, stack, n, k):
+            """gather_cycle with unroll=2: half the scan iterations, two
+            block applications (and two modular gathers) per iteration."""
+            def gb(c2, i):
+                p = jax.tree.map(lambda w: w[i % k], stack)
+                return body(c2, p)
+            carry, _ = jax.lax.scan(gb, carry, jnp.arange(n), unroll=2)
+            return carry
+
+        def static_cycle(body, carry, stack, n, k):
+            """No dynamic weight gathers at all: floor(n/k) cycles of the
+            k statically-sliced blocks (Python-unrolled inside one scan
+            iteration, as cycle_scan's VJP forward does) + the n%k
+            remainder applications unrolled at the end."""
+            cyc, rem = divmod(n, k)
+            blocks = [
+                jax.tree.map(lambda w, j=j: w[j], stack) for j in range(k)
+            ]
+
+            def cycle(c2, _):
+                for j in range(k):
+                    c2, _ = body(c2, blocks[j])
+                return c2, None
+
+            carry, _ = jax.lax.scan(cycle, carry, None, length=cyc)
+            for j in range(rem):
+                carry, _ = body(carry, blocks[j])
+            return carry
+
+        cyc = {"prefetch": prefetch_cycle, "unroll2": gather_unroll2,
+               "staticcycle": static_cycle}.get(variant, gather_cycle)
         kd = jax.tree.leaves(params["double"])[0].shape[0]
         ks = jax.tree.leaves(params["single"])[0].shape[0]
         (x, c) = cyc(double_body, (x, c), params["double"], FULL_DD, kd)
@@ -141,7 +175,17 @@ def main():
         return L.linear(params["proj_out"], x, jnp.bfloat16).astype(
             jnp.float32)
 
-    ref = None
+    # correctness reference: ONE raw forward of the production 'scan'
+    # variant (pinned explicitly — not whichever variant runs first), and
+    # each variant's raw output compared by max|diff| scaled to the
+    # reference magnitude.  (The earlier check compared chained .mean()
+    # scalars where variant outputs entered at ~1e-6 scale against a 1e-2
+    # tolerance — vacuously true for any weight-delivery bug.)
+    t_probe = jnp.full((B,), 0.5)
+    raw = jax.jit(lambda p, z, v=None: fwd_variant("scan", p, z, t_probe))
+    out_scan = np.asarray(raw(params, img), np.float32)
+    ref_scale = float(np.abs(out_scan).max())
+
     for variant in args.variants.split(","):
         @jax.jit
         def run(params, z, m, variant=variant):
@@ -151,9 +195,15 @@ def main():
                 return z + out.astype(z.dtype) * jnp.bfloat16(1e-6)
             return jax.lax.fori_loop(0, m, body, z).astype(jnp.float32).mean()
 
-        val = float(run(params, img, 1))
-        if ref is None:
-            ref = val
+        out_v = np.asarray(
+            jax.jit(
+                lambda p, z, variant=variant: fwd_variant(
+                    variant, p, z, t_probe)
+            )(params, img),
+            np.float32,
+        )
+        max_diff = float(np.abs(out_v - out_scan).max())
+        float(run(params, img, 1))  # compile + warm the timed program
         def timed(m, run=run):
             t0 = time.time()
             float(run(params, img, m))
@@ -161,7 +211,9 @@ def main():
 
         res = robust_slope(timed, args.n, retries=4)
         out = {"variant": variant, "valid": res.valid,
-               "match_scan": bool(abs(val - ref) < 1e-2 + 1e-3 * abs(ref))}
+               # bf16 forward at depth 57: allow ~1% of mean |out|
+               "match_scan": bool(max_diff < 1e-2 * ref_scale + 1e-6),
+               "max_diff_vs_scan": max_diff}
         if res.valid:
             out["fwd_ms_per_img"] = round(res.per_iter_s / B * 1e3, 1)
         else:

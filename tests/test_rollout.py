@@ -271,3 +271,107 @@ def test_run_rollout_matches_python_step_loop():
     np.testing.assert_array_equal(
         np.asarray(out.step_valid), np.arange(T) < n_valid
     )
+
+
+# ---------------------------------------------------------------------------
+# chunked group rollout (round 5: rollout at the measured B-knee)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_sampler(T=6):
+    from mixgrpo_tpu.models.flux import FluxConfig, init_flux
+    from mixgrpo_tpu.sampler import FluxSampler
+
+    cfg = FluxConfig.tiny()
+    sampler = FluxSampler(
+        cfg, SamplerConfig(num_steps_max=T, eta=0.7),
+        height=64, width=64, text_len=4, dtype=jnp.float32, attn_impl="xla",
+    )
+    params = init_flux(jax.random.key(0), cfg)
+    return cfg, sampler, params
+
+
+def test_chunked_rollout_matches_unchunked_ode():
+    """All-ODE rollout is rng-independent, so chunking must reproduce the
+    single-call output INCLUDING row order (tight tolerance: the chunked
+    program compiles at a different batch shape, so XLA may reassociate
+    f32 reductions — bit-exactness is not guaranteed)."""
+    T, B = 6, 8
+    cfg, sampler, params = _tiny_sampler(T)
+    key = jax.random.key(1)
+    txt = jax.random.normal(key, (B, 4, cfg.context_dim))
+    pooled = jax.random.normal(key, (B, cfg.pooled_dim))
+    z0 = sampler.init_noise(jax.random.key(2), B)
+    sig = sigma_schedule(T, 3.0)
+    det = jnp.ones(T, bool)
+    want = sampler.rollout(params, z0, txt, pooled, sig, det, T, jax.random.key(3))
+    got = sampler.chunked_rollout(
+        params, z0, txt, pooled, sig, det, T, jax.random.key(3), chunk=2
+    )
+    close = lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+    close(got.final_latents, want.final_latents)
+    close(got.all_latents, want.all_latents)
+    close(got.all_log_probs, want.all_log_probs)
+    np.testing.assert_array_equal(
+        np.asarray(got.step_valid), np.asarray(want.step_valid))
+
+
+def test_chunked_rollout_fallback_and_sde_shapes():
+    """Non-dividing local batch falls back to one call; SDE chunked rollout
+    produces per-row log-probs with the right shapes."""
+    T, B = 6, 6
+    cfg, sampler, params = _tiny_sampler(T)
+    key = jax.random.key(1)
+    txt = jax.random.normal(key, (B, 4, cfg.context_dim))
+    pooled = jax.random.normal(key, (B, cfg.pooled_dim))
+    z0 = sampler.init_noise(jax.random.key(2), B)
+    sig = sigma_schedule(T, 3.0)
+    det = deterministic_mask(T, [2, 3])
+    # chunk=4 does not divide 6 -> identical to the plain call (same rng path)
+    want = sampler.rollout(params, z0, txt, pooled, sig, det, T, jax.random.key(3))
+    got = sampler.chunked_rollout(
+        params, z0, txt, pooled, sig, det, T, jax.random.key(3), chunk=4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.final_latents), np.asarray(want.final_latents))
+    # chunk=2 divides: SDE noise stream differs by design; check shapes +
+    # that the SDE window produced nonzero log-probs per row
+    got2 = sampler.chunked_rollout(
+        params, z0, txt, pooled, sig, det, T, jax.random.key(3), chunk=2
+    )
+    assert got2.all_log_probs.shape == (B, T)
+    assert np.abs(np.asarray(got2.all_log_probs)[:, 2:4]).min() > 0
+
+
+def test_chunked_rollout_sharded_mesh():
+    """dp/fsdp-sharded batch: chunk selection/merge are shard-local and
+    preserve global row order (ODE equality vs the one-call path)."""
+    from mixgrpo_tpu.parallel.mesh import MeshConfig, make_mesh
+    from mixgrpo_tpu.parallel.sharding import data_spec
+
+    T, B = 6, 16
+    cfg, sampler, params = _tiny_sampler(T)
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, sp=1, tp=2))
+    key = jax.random.key(1)
+    txt = jax.device_put(
+        jax.random.normal(key, (B, 4, cfg.context_dim)), data_spec(mesh, 3))
+    pooled = jax.device_put(
+        jax.random.normal(key, (B, cfg.pooled_dim)), data_spec(mesh, 2))
+    z0 = jax.device_put(sampler.init_noise(jax.random.key(2), B),
+                        data_spec(mesh, 3))
+    sig = sigma_schedule(T, 3.0)
+    det = jnp.ones(T, bool)
+    with mesh:
+        want = sampler.rollout(
+            params, z0, txt, pooled, sig, det, T, jax.random.key(3))
+        got = sampler.chunked_rollout(
+            params, z0, txt, pooled, sig, det, T, jax.random.key(3),
+            chunk=2, mesh=mesh,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got.final_latents), np.asarray(want.final_latents),
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got.all_latents), np.asarray(want.all_latents),
+        rtol=1e-4, atol=1e-6)
