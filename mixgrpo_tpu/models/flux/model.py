@@ -156,15 +156,48 @@ _FORCE_GATHER = False
 # add (195 ms/update-iter in the 512px profile).  Env-gated for A/B.
 _CYCLE_VJP = os.environ.get("MIXGRPO_CYCLE_VJP", "1") != "0"
 
+# attention activation layout (env-gated for A/B):
+#   bhsd (default) — head-major (B, H, S, D) via explicit split/merge
+#       transposes around the attention kernel.
+#   bshd — q/k/v stay (B, S, H, D): the head split off the packed qkv
+#       projection is a free reshape and the flash kernel's block DMAs
+#       gather per-head lane-column tiles directly (ops/flash_attention.py
+#       layout docs).  Removes every (B,S,H*D) <-> (B,H,S,D) transpose
+#       from the block — but measured round 5 it is a small NET LOSS at
+#       the model level (512px same-session A/B: update 2.47 vs 2.40 s,
+#       rollout 6.74 vs 6.61 s/group-2): the per-call cost of the strided
+#       per-head DMAs exceeds what the transposes actually cost inside
+#       XLA's fusion schedule.  Kept as a tested mode; see PERF.md
+#       round-5 notes for the full numbers.
+_ATTN_LAYOUT = os.environ.get("MIXGRPO_ATTN_LAYOUT", "bhsd")
+
 
 def _split_heads(x, num_heads):
     b, s, _ = x.shape
+    if _ATTN_LAYOUT == "bshd":
+        return x.reshape(b, s, num_heads, -1)  # (B,S,H,D) — free
     return x.reshape(b, s, num_heads, -1).transpose(0, 2, 1, 3)  # (B,H,S,D)
 
 
 def _merge_heads(x):
+    if _ATTN_LAYOUT == "bshd":
+        b, s, h, d = x.shape
+        return x.reshape(b, s, h * d)  # free
     b, h, s, d = x.shape
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _seq_axis() -> int:
+    """The sequence axis of split-head q/k/v under the active layout."""
+    return 1 if _ATTN_LAYOUT == "bshd" else 2
+
+
+def _rope_tables_for_layout(cos, sin):
+    """(S, D) tables broadcast against (B,H,S,D) as-is; (B,S,H,D) needs an
+    explicit singleton head axis so S aligns with the tokens."""
+    if _ATTN_LAYOUT == "bshd":
+        return cos[:, None, :], sin[:, None, :]
+    return cos, sin
 
 
 def _qk_norm(q, k, qscale, kscale, eps):
@@ -195,13 +228,18 @@ def _double_block(p, cfg: FluxConfig, img, txt, vec, rope_cos, rope_sin,
     # joint sequence: [text | image] (diffusers FLUX ordering).  The
     # explicit activation constraints keep the concat and attention on one
     # consistent layout under tp/sp meshes (see sharding.constrain_attn).
-    q = constrain_attn(jnp.concatenate([tq, iq], axis=2))
-    k = constrain_attn(jnp.concatenate([tk, ik], axis=2))
-    v = constrain_attn(jnp.concatenate([tv, iv], axis=2))
-    q = apply_rope(q, rope_cos, rope_sin)
-    k = apply_rope(k, rope_cos, rope_sin)
+    seq_ax = _seq_axis()
+    lay = _ATTN_LAYOUT
+    q = constrain_attn(jnp.concatenate([tq, iq], axis=seq_ax), lay)
+    k = constrain_attn(jnp.concatenate([tk, ik], axis=seq_ax), lay)
+    v = constrain_attn(jnp.concatenate([tv, iv], axis=seq_ax), lay)
+    rc, rs = _rope_tables_for_layout(rope_cos, rope_sin)
+    q = apply_rope(q, rc, rs)
+    k = apply_rope(k, rc, rs)
 
-    out = constrain_attn(attention(q, k, v, mask=attn_mask, impl=attn_impl))
+    out = constrain_attn(
+        attention(q, k, v, mask=attn_mask, impl=attn_impl, layout=lay), lay
+    )
     out = _merge_heads(out)
     Lt = txt.shape[1]
     txt_attn, img_attn = out[:, :Lt], out[:, Lt:]
@@ -230,12 +268,16 @@ def _single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl,
     proj = L.linear(p["linear1"], x_mod, dtype)
     qkv, mlp = proj[..., : 3 * h], proj[..., 3 * h :]
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    q, k, v = (constrain_attn(_split_heads(t, H)) for t in (q, k, v))
+    lay = _ATTN_LAYOUT
+    q, k, v = (constrain_attn(_split_heads(t, H), lay) for t in (q, k, v))
     q, k = _qk_norm(q, k, p["qnorm"], p["knorm"], eps)
-    q = apply_rope(q, rope_cos, rope_sin)
-    k = apply_rope(k, rope_cos, rope_sin)
+    rc, rs = _rope_tables_for_layout(rope_cos, rope_sin)
+    q = apply_rope(q, rc, rs)
+    k = apply_rope(k, rc, rs)
 
-    attn_out = constrain_attn(attention(q, k, v, mask=attn_mask, impl=attn_impl))
+    attn_out = constrain_attn(
+        attention(q, k, v, mask=attn_mask, impl=attn_impl, layout=lay), lay
+    )
     attn_out = _merge_heads(attn_out)
     out = L.linear(
         p["linear2"], jnp.concatenate([attn_out, L.gelu_tanh(mlp)], axis=-1), dtype

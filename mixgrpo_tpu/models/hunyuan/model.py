@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mixgrpo_tpu.models.flux import layers as L
+from mixgrpo_tpu.models.flux import model as _flux_model
 from mixgrpo_tpu.models.flux.model import (
     FluxConfig, _double_block, _single_block, _split_heads, _merge_heads,
 )
@@ -150,7 +151,11 @@ def _refiner_block(p, cfg, x, c, mask, dtype):
     if mask is not None:
         m = mask.astype(bool).at[:, 0].set(True)  # token_refiner.py:148-150
         attn_mask = m[:, None, None, :]
-    o = _merge_heads(attention(q, k, v, mask=attn_mask, impl="xla"))
+    # _split_heads follows the flux module's active attention layout
+    o = _merge_heads(
+        attention(q, k, v, mask=attn_mask, impl="xla",
+                  layout=_flux_model._ATTN_LAYOUT)
+    )
     x = x + gate_msa[:, None, :] * L.linear(p["proj"], o, dtype)
     h = _ln_affine(p["norm2"], x, cfg.eps)
     mlp = L.linear(p["mlp_out"], jax.nn.silu(L.linear(p["mlp_in"], h, dtype)), dtype)

@@ -21,19 +21,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _xla_attention(q, k, v, mask=None, scale=None):
-    """q, k, v: (B, H, S, D).  Returns (B, H, S, D).  fp32 softmax."""
+def _xla_attention(q, k, v, mask=None, scale=None, layout="bhsd"):
+    """q, k, v: (B, H, S, D) — or (B, S, H, D) with ``layout="bshd"``.
+    Returns the same layout.  fp32 softmax."""
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / (d**0.5)
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
+    qk = "bqhd,bkhd->bhqk" if layout == "bshd" else "bhqd,bhkd->bhqk"
+    pv = "bhqk,bkhd->bqhd" if layout == "bshd" else "bhqk,bhkd->bhqd"
+    logits = jnp.einsum(qk, q, k, preferred_element_type=jnp.float32) * scale
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum(
-        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
-        preferred_element_type=jnp.float32,
+        pv, probs.astype(v.dtype), v, preferred_element_type=jnp.float32
     ).astype(v.dtype)
 
 
@@ -45,32 +45,43 @@ def _on_tpu() -> bool:
     return plat in ("tpu", "axon")
 
 
-def attention(q, k, v, mask=None, impl: str = "auto"):
-    """Bidirectional scaled dot-product attention over (B, H, S, D).
+def attention(q, k, v, mask=None, impl: str = "auto", layout: str = "bhsd"):
+    """Bidirectional scaled dot-product attention over (B, H, S, D) — or
+    (B, S, H, D) with ``layout="bshd"`` (the FLUX fast path: the packed
+    qkv projection's head split becomes a free reshape; the Pallas kernel
+    gathers per-head tiles with strided DMAs instead of the program
+    paying (B,S,H*D) -> (B,H,S,D) relayout transposes).
 
     ``mask``: optional (B, 1|H, S, S) or (S, S) boolean, True = attend.
+    The SP impls (ulysses/ring) operate natively on (B, H, S, D); bshd
+    inputs are converted at this boundary (SP is off by default, as in
+    the reference).
     """
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
     with jax.named_scope(f"mmdit_attention_{impl}"):
-        if impl == "ulysses":
-            from mixgrpo_tpu.parallel.ulysses import get_sp_context, ulysses_attention
-
-            ctx = get_sp_context()
-            assert ctx is not None, "attention(impl='ulysses') needs set_sp_context"
-            mesh, axis = ctx
-            base = "pallas" if _on_tpu() else "xla"
-            return ulysses_attention(q, k, v, mesh, axis, base_impl=base, mask=mask)
-        if impl == "ring":
-            from mixgrpo_tpu.parallel.ring import ring_attention
+        if impl in ("ulysses", "ring"):
+            if layout == "bshd":
+                out = attention(
+                    q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3), mask=mask, impl=impl,
+                )
+                return out.transpose(0, 2, 1, 3)
             from mixgrpo_tpu.parallel.ulysses import get_sp_context
 
             ctx = get_sp_context()
-            assert ctx is not None, "attention(impl='ring') needs set_sp_context"
+            assert ctx is not None, f"attention(impl={impl!r}) needs set_sp_context"
             mesh, axis = ctx
-            return ring_attention(q, k, v, mesh, axis, mask=mask)
+            if impl == "ring":
+                from mixgrpo_tpu.parallel.ring import ring_attention
+
+                return ring_attention(q, k, v, mesh, axis, mask=mask)
+            from mixgrpo_tpu.parallel.ulysses import ulysses_attention
+
+            base = "pallas" if _on_tpu() else "xla"
+            return ulysses_attention(q, k, v, mesh, axis, base_impl=base, mask=mask)
         if impl == "pallas":
             from mixgrpo_tpu.ops.flash_attention import flash_attention
 
-            return flash_attention(q, k, v, mask=mask)
-        return _xla_attention(q, k, v, mask=mask)
+            return flash_attention(q, k, v, mask=mask, layout=layout)
+        return _xla_attention(q, k, v, mask=mask, layout=layout)

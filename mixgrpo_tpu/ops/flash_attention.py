@@ -62,12 +62,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch, scale,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # (BQ, D)
-    k = k_ref[0]  # (BK, D)
+    q = q_ref[...]  # (BQ, D)
+    k = k_ref[...]  # (BK, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BQ, BK)
-    s = s + kbias_ref[0]  # (1, BK) additive key mask (0 or NEG_INF)
+    s = s + kbias_ref[...]  # (1, BK) additive key mask (0 or NEG_INF)
 
     # mask key-side padding
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -81,7 +81,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch, scale,
     l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_scr[:] = jnp.broadcast_to(m_cur, m_scr.shape)
@@ -90,9 +90,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch, scale,
     @pl.when(ki == nk - 1)
     def _():
         l = l_scr[:, :1]
-        o_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        o_ref[...] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse_ref[0] = (
+            lse_ref[...] = (
                 m_scr[:] + jnp.log(jnp.maximum(l_scr[:], 1e-30))
             ).astype(jnp.float32)
 
@@ -109,31 +109,31 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]  # (BQ, D)
-    k = k_ref[0]  # (BK, D)
+    q = q_ref[...]  # (BQ, D)
+    k = k_ref[...]  # (BK, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + kbias_ref[0]  # (BQ, BK)
+    ) * scale + kbias_ref[...]  # (BQ, BK)
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     valid = jnp.logical_and(col < kv_len, row < q_len)
 
-    lse = lse_ref[0][:, :1]  # (BQ, 1)
+    lse = lse_ref[...][:, :1]  # (BQ, 1)
     p = jnp.where(valid, jnp.exp(s - lse), 0.0)  # (BQ, BK)
 
-    do = do_ref[0]  # (BQ, D)
+    do = do_ref[...]  # (BQ, D)
     dv_scr[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dp = jax.lax.dot_general(
-        do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do, v_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BQ, BK)
     # delta = rowsum(o * do), computed here from the o residual tile: a
     # bf16 (BQ, D) read replaces the f32 (BQ, 128) broadcast-delta read and
     # retires the separate delta pass entirely (cheap VPU recompute)
     delta = jnp.sum(
-        o_ref[0].astype(jnp.float32) * do.astype(jnp.float32),
+        o_ref[...].astype(jnp.float32) * do.astype(jnp.float32),
         axis=-1, keepdims=True,
     )  # (BQ, 1)
     ds = p * (dp - delta) * scale
@@ -144,8 +144,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
 
     @pl.when(qi == nq - 1)
     def _():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+        dk_ref[...] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[...] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
@@ -168,29 +168,29 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]  # (BQ, D)
-    k = k_ref[0]  # (BK, D) — the full key range
+    q = q_ref[...]  # (BQ, D)
+    k = k_ref[...]  # (BK, D) — the full key range
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + kbias_ref[0]  # (BQ, BK)
+    ) * scale + kbias_ref[...]  # (BQ, BK)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     valid = jnp.logical_and(col < kv_len, row < q_len)
 
-    lse = lse_ref[0][:, :1]  # (BQ, 1)
+    lse = lse_ref[...][:, :1]  # (BQ, 1)
     p = jnp.where(valid, jnp.exp(s - lse), 0.0)  # (BQ, BK)
 
-    do = do_ref[0]  # (BQ, D)
+    do = do_ref[...]  # (BQ, D)
     dv_scr[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dp = jax.lax.dot_general(
-        do, v_ref[0], (((1,), (1,)), ((), ())),
+        do, v_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BQ, BK)
     delta = jnp.sum(
-        o_ref[0].astype(jnp.float32) * do.astype(jnp.float32),
+        o_ref[...].astype(jnp.float32) * do.astype(jnp.float32),
         axis=-1, keepdims=True,
     )  # (BQ, 1) — see _dkv_kernel
     ds = p * (dp - delta) * scale
@@ -198,15 +198,15 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dq_ref[0] = jax.lax.dot_general(
+    dq_ref[...] = jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
 
     @pl.when(qi == nq - 1)
     def _():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+        dk_ref[...] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[...] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
@@ -218,20 +218,20 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
+    q = q_ref[...]
+    k = k_ref[...]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + kbias_ref[0]
+    ) * scale + kbias_ref[...]
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    lse = lse_ref[0][:, :1]
+    lse = lse_ref[...][:, :1]
     p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
     dp = jax.lax.dot_general(
-        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        do_ref[...], v_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     delta = jnp.sum(
-        o_ref[0].astype(jnp.float32) * do_ref[0].astype(jnp.float32),
+        o_ref[...].astype(jnp.float32) * do_ref[...].astype(jnp.float32),
         axis=-1, keepdims=True,
     )  # (BQ, 1) — see _dkv_kernel
     ds = p * (dp - delta) * scale
@@ -242,7 +242,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
 
     @pl.when(ki == nk - 1)
     def _():
-        dq_ref[0] = (dq_scr[:] * 1.0).astype(dq_ref.dtype)
+        dq_ref[...] = (dq_scr[:] * 1.0).astype(dq_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -269,29 +269,91 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _fwd_impl(q, k, v, kbias, scale, block_q, block_k, want_lse=True):
-    B, H, S, D = q.shape
-    Sk = k.shape[2]
+def _shape_of(x, layout):
+    """(B, H, S, D) logical dims of ``x`` under ``layout``."""
+    if layout == "bshd":
+        B, S, H, D = x.shape
+        return B, H, S, D
+    B, H, S, D = x.shape
+    return B, H, S, D
+
+
+def _prep(x, layout, Sp):
+    """Pad the sequence dim to ``Sp``; flatten trailing/leading head dims.
+
+    bhsd: (B,H,S,D) -> (B*H, Sp, D) — blocks are dense row ranges.
+    bshd: (B,S,H,D) -> (B,Sp,H*D) — a free reshape; each head's (bq, D)
+    tile is then a lane-aligned COLUMN block at offset h*D (D=128 = one
+    lane tile), so the block DMA does the head-split for free and the
+    surrounding program needs no (B,S,H*D) -> (B,H,S,D) relayout ops.
+    (Mosaic cannot squeeze the sublane-position dim of a 4D (B,S,H,D)
+    array — block dims over the last two axes must tile (8, 128) — so
+    the head axis is addressed through lane blocking instead.)
+    """
+    if layout == "bshd":
+        B, S, H, D = x.shape
+        return _pad_to(x.reshape(B, S, H * D), Sp, 1)
+    B, H, S, D = x.shape
+    return _pad_to(x.reshape(B * H, S, D), Sp, 1)
+
+
+def _row_spec(layout, H, rows, D, pick):
+    """BlockSpec for a q/k/v/o/do-like operand; ``pick(*grid)`` selects the
+    row-block index.  The grid's leading axis is always the fused b*H
+    batch-head index; the kernel sees a 2D (rows, D) ref in both layouts
+    (leading dim squeezed; bshd picks the head as a lane-block column)."""
+    if layout == "bshd":
+        return pl.BlockSpec(
+            (None, rows, D), lambda *g: (g[0] // H, pick(*g), g[0] % H)
+        )
+    return pl.BlockSpec((None, rows, D), lambda *g: (g[0], pick(*g), 0))
+
+
+def _lse_spec(rows, pick):
+    return pl.BlockSpec((None, rows, _LANES), lambda *g: (g[0], pick(*g), 0))
+
+
+def _kbias_spec(H, bk, pick):
+    return pl.BlockSpec(
+        (None, 1, bk), lambda *g: (g[0] // H, 0, pick(*g))
+    )
+
+
+def _out_struct(layout, B, H, Sp, D, dtype):
+    shape = (B, Sp, H * D) if layout == "bshd" else (B * H, Sp, D)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _unprep(x, layout, B, H, S, D):
+    """Slice off sequence padding and restore the caller's layout."""
+    if layout == "bshd":
+        return x[:, :S].reshape(B, S, H, D)
+    return x[:, :S].reshape(B, H, S, D)
+
+
+def _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout,
+              want_lse=True):
+    B, H, S, D = _shape_of(q, layout)
+    Sk = _shape_of(k, layout)[2]
     bq, bk = _block_sizes(block_q, block_k, S, Sk)
     Sp = pl.cdiv(S, bq) * bq
     Skp = pl.cdiv(Sk, bk) * bk
-    qf = _pad_to(q.reshape(B * H, S, D), Sp, 1)
-    kf = _pad_to(k.reshape(B * H, Sk, D), Skp, 1)
-    vf = _pad_to(v.reshape(B * H, Sk, D), Skp, 1)
-    # (B, 1, Skp): a leading block dim of 1 must equal the array dim, so the
-    # per-batch row bias carries an explicit singleton sublane axis
+    qf = _prep(q, layout, Sp)
+    kf = _prep(k, layout, Skp)
+    vf = _prep(v, layout, Skp)
+    # (B, 1, Skp): the per-batch row bias carries an explicit singleton
+    # sublane axis (squeezed out by the (None, 1, bk) block spec)
     kb = _pad_to(kbias, Skp, 1)[:, None, :]
 
-    H_static = H
     grid = (B * H, Sp // bq, Skp // bk)
     kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=Sk,
                                block_k=bk, want_lse=want_lse)
-    out_specs = [pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0))]
-    out_shape = [jax.ShapeDtypeStruct((B * H, Sp, D), q.dtype)]
+    qpick = lambda b, qi, ki: qi
+    kpick = lambda b, qi, ki: ki
+    out_specs = [_row_spec(layout, H, bq, D, qpick)]
+    out_shape = [_out_struct(layout, B, H, Sp, D, q.dtype)]
     if want_lse:
-        out_specs.append(
-            pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0))
-        )
+        out_specs.append(_lse_spec(bq, qpick))
         out_shape.append(
             jax.ShapeDtypeStruct((B * H, Sp, _LANES), jnp.float32)
         )
@@ -299,10 +361,10 @@ def _fwd_impl(q, k, v, kbias, scale, block_q, block_k, want_lse=True):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b // H_static, 0, ki)),
+            _row_spec(layout, H, bq, D, qpick),
+            _row_spec(layout, H, bk, D, kpick),
+            _row_spec(layout, H, bk, D, kpick),
+            _kbias_spec(H, bk, kpick),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -313,37 +375,37 @@ def _fwd_impl(q, k, v, kbias, scale, block_q, block_k, want_lse=True):
         ],
         interpret=_interpret(),
     )(qf, kf, vf, kb)
-    o = res[0][:, :S].reshape(B, H, S, D)
+    o = _unprep(res[0], layout, B, H, S, D)
     return (o, res[1][:, :S]) if want_lse else (o, None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, kbias, scale, block_q, block_k):
-    o, _ = _fwd_impl(q, k, v, kbias, scale, block_q, block_k, want_lse=False)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, kbias, scale, block_q, block_k, layout):
+    o, _ = _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout,
+                     want_lse=False)
     return o
 
 
-def _flash_fwd(q, k, v, kbias, scale, block_q, block_k):
-    o, lse = _fwd_impl(q, k, v, kbias, scale, block_q, block_k)
+def _flash_fwd(q, k, v, kbias, scale, block_q, block_k, layout):
+    o, lse = _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout)
     return o, (q, k, v, kbias, o, lse)
 
 
-def _flash_bwd(scale, block_q, block_k, res, do):
+def _flash_bwd(scale, block_q, block_k, layout, res, do):
     q, k, v, kbias, o, lse = res
-    B, H, S, D = q.shape
-    Sk = k.shape[2]
+    B, H, S, D = _shape_of(q, layout)
+    Sk = _shape_of(k, layout)[2]
     bq, bk = _block_sizes(block_q, block_k, S, Sk)
     Sp = pl.cdiv(S, bq) * bq
     Skp = pl.cdiv(Sk, bk) * bk
 
-    qf = _pad_to(q.reshape(B * H, S, D), Sp, 1)
-    kf = _pad_to(k.reshape(B * H, Sk, D), Skp, 1)
-    vf = _pad_to(v.reshape(B * H, Sk, D), Skp, 1)
-    dof = _pad_to(do.reshape(B * H, S, D), Sp, 1)
-    of = _pad_to(o.reshape(B * H, S, D), Sp, 1)
+    qf = _prep(q, layout, Sp)
+    kf = _prep(k, layout, Skp)
+    vf = _prep(v, layout, Skp)
+    dof = _prep(do, layout, Sp)
+    of = _prep(o, layout, Sp)
     lsef = _pad_to(lse.reshape(B * H, S, _LANES), Sp, 1)
     kb = _pad_to(kbias, Skp, 1)[:, None, :]  # (B, 1, Skp) — see _fwd_impl
-    H_static = H
 
     fused_ok = os.environ.get("MIXGRPO_FLASH_FUSED_BWD", "1") != "0"
     if fused_ok and Skp == bk and bq * Skp * 4 <= 6 * 2**20:
@@ -352,27 +414,29 @@ def _flash_bwd(scale, block_q, block_k, res, do):
         fused = functools.partial(
             _fused_bwd_kernel, scale=scale, kv_len=Sk, block_q=bq, q_len=S
         )
+        qpick = lambda b, qi: qi
+        kpick = lambda b, qi: 0
         dq, dk, dv = pl.pallas_call(
             fused,
             grid=(B * H, Sp // bq),
             in_specs=[
-                pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0)),
-                pl.BlockSpec((1, bk, D), lambda b, qi: (b, 0, 0)),
-                pl.BlockSpec((1, bk, D), lambda b, qi: (b, 0, 0)),
-                pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0)),
-                pl.BlockSpec((1, bq, _LANES), lambda b, qi: (b, qi, 0)),
-                pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0)),
-                pl.BlockSpec((1, 1, bk), lambda b, qi: (b // H_static, 0, 0)),
+                _row_spec(layout, H, bq, D, qpick),
+                _row_spec(layout, H, bk, D, kpick),
+                _row_spec(layout, H, bk, D, kpick),
+                _row_spec(layout, H, bq, D, qpick),
+                _lse_spec(bq, qpick),
+                _row_spec(layout, H, bq, D, qpick),
+                _kbias_spec(H, bk, kpick),
             ],
             out_specs=[
-                pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0)),
-                pl.BlockSpec((1, bk, D), lambda b, qi: (b, 0, 0)),
-                pl.BlockSpec((1, bk, D), lambda b, qi: (b, 0, 0)),
+                _row_spec(layout, H, bq, D, qpick),
+                _row_spec(layout, H, bk, D, kpick),
+                _row_spec(layout, H, bk, D, kpick),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B * H, Sp, D), q.dtype),
-                jax.ShapeDtypeStruct((B * H, Skp, D), q.dtype),
-                jax.ShapeDtypeStruct((B * H, Skp, D), q.dtype),
+                _out_struct(layout, B, H, Sp, D, q.dtype),
+                _out_struct(layout, B, H, Skp, D, q.dtype),
+                _out_struct(layout, B, H, Skp, D, q.dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bk, D), jnp.float32),
@@ -381,34 +445,36 @@ def _flash_bwd(scale, block_q, block_k, res, do):
             interpret=_interpret(),
         )(qf, kf, vf, dof, lsef, of, kb)
         return (
-            dq[:, :S].reshape(B, H, S, D),
-            dk[:, :Sk].reshape(B, H, Sk, D),
-            dv[:, :Sk].reshape(B, H, Sk, D),
+            _unprep(dq, layout, B, H, S, D),
+            _unprep(dk, layout, B, H, Sk, D),
+            _unprep(dv, layout, B, H, Sk, D),
             jnp.zeros_like(kbias),
         )
 
     dkv_kernel = functools.partial(
         _dkv_kernel, scale=scale, kv_len=Sk, block_k=bk, block_q=bq, q_len=S
     )
+    qpick_kq = lambda b, ki, qi: qi
+    kpick_kq = lambda b, ki, qi: ki
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(B * H, Skp // bk, Sp // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, ki, qi: (b, qi, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0)),
-            pl.BlockSpec((1, bq, D), lambda b, ki, qi: (b, qi, 0)),
-            pl.BlockSpec((1, bq, _LANES), lambda b, ki, qi: (b, qi, 0)),
-            pl.BlockSpec((1, bq, D), lambda b, ki, qi: (b, qi, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b, ki, qi: (b // H_static, 0, ki)),
+            _row_spec(layout, H, bq, D, qpick_kq),
+            _row_spec(layout, H, bk, D, kpick_kq),
+            _row_spec(layout, H, bk, D, kpick_kq),
+            _row_spec(layout, H, bq, D, qpick_kq),
+            _lse_spec(bq, qpick_kq),
+            _row_spec(layout, H, bq, D, qpick_kq),
+            _kbias_spec(H, bk, kpick_kq),
         ],
         out_specs=[
-            pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0)),
+            _row_spec(layout, H, bk, D, kpick_kq),
+            _row_spec(layout, H, bk, D, kpick_kq),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, Skp, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Skp, D), q.dtype),
+            _out_struct(layout, B, H, Skp, D, q.dtype),
+            _out_struct(layout, B, H, Skp, D, q.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, D), jnp.float32),
@@ -418,28 +484,30 @@ def _flash_bwd(scale, block_q, block_k, res, do):
     )(qf, kf, vf, dof, lsef, of, kb)
 
     dq_kernel = functools.partial(_dq_kernel, scale=scale, kv_len=Sk, block_k=bk)
+    qpick_qk = lambda b, qi, ki: qi
+    kpick_qk = lambda b, qi, ki: ki
     dq = pl.pallas_call(
         dq_kernel,
         grid=(B * H, Sp // bq, Skp // bk),
         in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b // H_static, 0, ki)),
+            _row_spec(layout, H, bq, D, qpick_qk),
+            _row_spec(layout, H, bk, D, kpick_qk),
+            _row_spec(layout, H, bk, D, kpick_qk),
+            _row_spec(layout, H, bq, D, qpick_qk),
+            _lse_spec(bq, qpick_qk),
+            _row_spec(layout, H, bq, D, qpick_qk),
+            _kbias_spec(H, bk, kpick_qk),
         ],
-        out_specs=pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Sp, D), q.dtype),
+        out_specs=_row_spec(layout, H, bq, D, qpick_qk),
+        out_shape=_out_struct(layout, B, H, Sp, D, q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
         interpret=_interpret(),
     )(qf, kf, vf, dof, lsef, of, kb)
 
     return (
-        dq[:, :S].reshape(B, H, S, D),
-        dk[:, :Sk].reshape(B, H, Sk, D),
-        dv[:, :Sk].reshape(B, H, Sk, D),
+        _unprep(dq, layout, B, H, S, D),
+        _unprep(dk, layout, B, H, Sk, D),
+        _unprep(dv, layout, B, H, Sk, D),
         jnp.zeros_like(kbias),  # mask bias is non-trainable
     )
 
@@ -460,8 +528,21 @@ def _auto_block_k(block_q: int, S: int, Sk: int) -> int:
     return Sk if bq_eff * Sk * 4 <= 10 * 2**20 else 1024
 
 
-def flash_attention(q, k, v, mask=None, block_q=None, block_k=None):
-    """Flash attention over (B, H, S, D); optional key-side mask.
+def flash_attention(q, k, v, mask=None, block_q=None, block_k=None,
+                    layout="bhsd"):
+    """Flash attention over (B, H, S, D) — or (B, S, H, D) with
+    ``layout="bshd"``; optional key-side mask.
+
+    ``layout="bshd"`` consumes and produces head-minor (B, S, H, D)
+    arrays directly: the kernel's block DMAs gather one head's (rows, D)
+    tile as a lane-aligned column block, so the surrounding program needs
+    NO (B,S,H*D) -> (B,H,S,D) head-split transposes.  The grid and kernel
+    bodies are identical in both layouts.  Measured round 5 (PERF.md):
+    kernel-level the strided loads cost ~7% fwd and WIN 34% on the fused
+    bwd, but at the full-model level bshd is a small net loss (update
+    2.47 vs 2.40 s, rollout 6.74 vs 6.61 s at 512px) — the model keeps
+    bhsd as its default and this mode stays env-selectable
+    (MIXGRPO_ATTN_LAYOUT=bshd).
 
     ``mask`` may be None (full bidirectional — the FLUX cached-embedding
     path), a (B, S_k) boolean, or a broadcastable (B, 1, 1, S_k) boolean
@@ -479,8 +560,9 @@ def flash_attention(q, k, v, mask=None, block_q=None, block_k=None):
     online-softmax at MMDiT shapes — no accumulator churn), else
     1024-wide chunks.
     """
-    B, H, S, D = q.shape
-    Sk = k.shape[2]
+    assert layout in ("bhsd", "bshd"), layout
+    B, H, S, D = _shape_of(q, layout)
+    Sk = _shape_of(k, layout)[2]
     if block_q is None:
         block_q = 512
     if block_k is None:
@@ -496,4 +578,4 @@ def flash_attention(q, k, v, mask=None, block_q=None, block_k=None):
         assert m.shape == (B, Sk), (m.shape, (B, Sk))
         kbias = jnp.where(m, 0.0, NEG_INF).astype(jnp.float32)
     scale = 1.0 / (q.shape[-1] ** 0.5)
-    return _flash(q, k, v, kbias, scale, block_q, block_k)
+    return _flash(q, k, v, kbias, scale, block_q, block_k, layout)

@@ -200,8 +200,9 @@ def batch_axes_for(mesh: Mesh, dim: int, axes=("dp", "fsdp")):
     return use if use and dim % total == 0 else ()
 
 
-def constrain_attn(x):
-    """Sharding constraint for (B, H, S, D) attention activations.
+def constrain_attn(x, layout: str = "bhsd"):
+    """Sharding constraint for split-head attention activations —
+    (B, H, S, D), or (B, S, H, D) with ``layout="bshd"``.
 
     Batch -> (dp, fsdp), heads -> tp, sequence -> sp — each only when the
     dim divides evenly; no-op when no activation mesh is installed.
@@ -209,7 +210,10 @@ def constrain_attn(x):
     mesh = _ACT_MESH[0]
     if mesh is None or x.ndim != 4:
         return x
-    B, H, S, _ = x.shape
+    if layout == "bshd":
+        B, S, H, _ = x.shape
+    else:
+        B, H, S, _ = x.shape
     b = batch_axes_for(mesh, B) or None
     tp = mesh.shape.get("tp", 1)
     sp = mesh.shape.get("sp", 1)
@@ -217,9 +221,8 @@ def constrain_attn(x):
     s = "sp" if sp > 1 and S % sp == 0 else None
     if b is None and h is None and s is None:
         return x
-    return jax.lax.with_sharding_constraint(
-        x, NamedSharding(mesh, P(b, h, s, None))
-    )
+    spec = P(b, s, h, None) if layout == "bshd" else P(b, h, s, None)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def constrain_residual(x):

@@ -154,3 +154,58 @@ def test_auto_block_k_respects_vmem_budget():
     assert _auto_block_k(1024, 4608, 4608) == 1024  # bigger bq shrinks Sk cap
     # tiny S caps the effective bq (kernel clamps bq to S)
     assert _auto_block_k(512, 64, 16384) == 16384
+
+
+# ---------------------------------------------------------------------------
+# bshd layout (head-minor (B, S, H, D); round 5)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("S,block", [(128, 64), (192, 64), (256, 256)])
+def test_bshd_forward_matches_bhsd(S, block):
+    q, k, v = _rand_qkv(jax.random.key(7), 2, 3, S, 64)
+    want = flash_attention(q, k, v, block_q=block, block_k=block)
+    tr = lambda t: t.transpose(0, 2, 1, 3)
+    got = flash_attention(tr(q), tr(k), tr(v), block_q=block, block_k=block,
+                          layout="bshd")
+    np.testing.assert_allclose(
+        np.asarray(tr(got)), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("fused", ["1", "0"])
+def test_bshd_backward_matches_bhsd(fused, monkeypatch):
+    """dq/dk/dv agree across layouts on both backward paths (fused
+    single-pass full-K and the two-kernel dkv+dq path)."""
+    monkeypatch.setenv("MIXGRPO_FLASH_FUSED_BWD", fused)
+    q, k, v = _rand_qkv(jax.random.key(8), 1, 2, 192, 64)
+    tr = lambda t: t.transpose(0, 2, 1, 3)
+
+    def loss_bhsd(q, k, v):
+        return flash_attention(q, k, v, block_q=64, block_k=192).sum()
+
+    def loss_bshd(q, k, v):
+        return flash_attention(
+            tr(q), tr(k), tr(v), block_q=64, block_k=192, layout="bshd"
+        ).sum()
+
+    g0 = jax.grad(loss_bhsd, argnums=(0, 1, 2))(q, k, v)
+    g1 = jax.grad(loss_bshd, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_bshd_key_mask_and_unaligned():
+    """Key-side mask + non-block-multiple sequence in bshd layout."""
+    B, H, S, D = 2, 2, 100, 64
+    q, k, v = _rand_qkv(jax.random.key(9), B, H, S, D)
+    mask = jnp.arange(S)[None, :] < jnp.array([[70], [100]])  # (B, S)
+    want = _xla_attention(q, k, v, mask=mask[:, None, None, :])
+    tr = lambda t: t.transpose(0, 2, 1, 3)
+    got = flash_attention(tr(q), tr(k), tr(v), mask=mask, block_q=64,
+                          block_k=64, layout="bshd")
+    np.testing.assert_allclose(
+        np.asarray(tr(got)), np.asarray(want), rtol=2e-4, atol=2e-5
+    )

@@ -260,3 +260,43 @@ def test_rope_matmul_rotation_matches_interleave_reference():
     got = np.asarray(apply_rope(jnp.asarray(x), jnp.asarray(cos),
                                 jnp.asarray(sin)))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("attn_impl", ["xla", "pallas"])
+def test_attn_layout_bshd_matches_bhsd(tiny_setup, monkeypatch, attn_impl):
+    """The head-minor (B,S,H,D) attention layout (round 5, default) is
+    numerically equivalent to the historical (B,H,S,D) layout — forward
+    AND parameter gradients (the layout only moves the head-split
+    transposes into the kernel's block DMAs)."""
+    from mixgrpo_tpu.models.flux import model as M
+
+    cfg, params, (img, txt, pooled, t, g, cos, sin) = tiny_setup
+
+    def fwd():
+        return flux_forward(
+            params, cfg, img, txt, pooled, t, g, cos, sin,
+            dtype=jnp.float32, attn_impl=attn_impl, remat=False,
+        )
+
+    def loss(p):
+        out = flux_forward(
+            p, cfg, img, txt, pooled, t, g, cos, sin,
+            dtype=jnp.float32, attn_impl=attn_impl, remat=True,
+        )
+        return (out.astype(jnp.float32) ** 2).mean()
+
+    monkeypatch.setattr(M, "_ATTN_LAYOUT", "bhsd")
+    want, gwant = fwd(), jax.grad(loss)(params)
+    monkeypatch.setattr(M, "_ATTN_LAYOUT", "bshd")
+    got, ggot = fwd(), jax.grad(loss)(params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gwant),
+        jax.tree_util.tree_leaves_with_path(ggot),
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(pa),
+        )
