@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--requests", type=int, default=None,
                     help="concurrent client requests (default 16 toy / 8 recipe)")
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--continuous", action="store_true",
+                    help="continuous batching (chunk-boundary admission, "
+                         "serve.ContinuousBatcher) instead of the "
+                         "fixed-batch RequestBatcher")
     args = ap.parse_args()
 
     import bench
@@ -94,12 +98,17 @@ def main():
         ]).astype(np.float32)
         return txt, pooled
 
-    gen = make_generate_fn(pipe, encode)
-    batcher = RequestBatcher(
-        gen, batch_size=BATCH, max_wait_ms=100.0,
-        # latency tier: lone requests ride a batch-1 compiled program
-        generate_fn_single=gen,
-    )
+    if args.continuous:
+        from mixgrpo_tpu.serve import ContinuousBatcher
+
+        batcher = ContinuousBatcher(pipe, encode, batch_size=BATCH)
+    else:
+        gen = make_generate_fn(pipe, encode)
+        batcher = RequestBatcher(
+            gen, batch_size=BATCH, max_wait_ms=100.0,
+            # latency tier: lone requests ride a batch-1 compiled program
+            generate_fn_single=gen,
+        )
     lat_lock = threading.Lock()
     latencies = []
     with InferenceServer(batcher, host="127.0.0.1", port=0) as srv:
@@ -167,16 +176,20 @@ def main():
         "latency_tier_p50_concurrency1_s": round(
             float(single_lat[len(single_lat) // 2]), 2
         ),
-        "single_dispatches": stats["single_dispatches"],
+        "single_dispatches": stats.get("single_dispatches", 0),
         "batches": stats["batches"],
-        "padded_rows": stats["padded_rows"],
+        "padded_rows": stats.get("padded_rows", 0),
+        "mid_flight_admissions": stats.get("mid_flight_admissions", 0),
         "errors": stats["errors"],
         "compile_plus_first_s": round(t_compile + t_compile_single, 1),
+        "continuous": args.continuous,
         "note": (
             f"batch={BATCH}, {STEPS}-step latent-only pipeline"
             + (f", mixed-model switch at step {MIX} (inference_flux.sh:28-30)"
                if MIX else "")
-            + "; mechanics (co-batching, seed rows) are the production path"
+            + ("; continuous batching: chunk-boundary admission"
+               if args.continuous else
+               "; mechanics (co-batching, seed rows) are the production path")
         ),
     }))
 

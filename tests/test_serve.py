@@ -238,3 +238,135 @@ def test_http_server_end_to_end_tiny_flux():
             assert e.code == 400
         status, body = _get(srv.port, "/healthz")
         assert status == 200
+
+
+# ---------------------------------------------------------------------------
+# continuous batching (chunk-boundary admission; VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_mixed_pipeline(num_steps=6, mix=3, chunk=2):
+    from mixgrpo_tpu.models.flux.model import FluxConfig, init_flux
+    from mixgrpo_tpu.sample import DualFluxPipeline
+
+    flux_cfg = FluxConfig.tiny()
+    base = init_flux(jax.random.key(0), flux_cfg)
+    tuned = init_flux(jax.random.key(1), flux_cfg)
+    pipe = DualFluxPipeline(
+        flux_cfg, base, tuned, height=32, width=32, num_steps=num_steps,
+        mix_sampling_steps=mix, text_len=8, dtype=jnp.float32,
+        attn_impl="xla", max_steps_per_call=chunk,
+    )
+
+    def encode(prompts):
+        txt = np.stack([
+            np.random.default_rng(abs(hash(p)) % 2**31)
+            .normal(size=(8, flux_cfg.context_dim)) for p in prompts
+        ]).astype(np.float32)
+        pooled = np.stack([
+            np.random.default_rng(abs(hash(p)) % 2**31)
+            .normal(size=(flux_cfg.pooled_dim,)) for p in prompts
+        ]).astype(np.float32)
+        return txt, pooled
+
+    return pipe, encode
+
+
+def test_continuous_batcher_matches_pipeline_under_burst():
+    """A burst of 2x the slot count: outputs must match the one-shot
+    pipeline per (prompt, seed) regardless of admission timing, and the
+    burst must actually exercise mid-flight admission + pool migration."""
+    from mixgrpo_tpu.serve import ContinuousBatcher
+
+    pipe, encode = _tiny_mixed_pipeline()
+    b = ContinuousBatcher(pipe, encode, batch_size=2)
+    try:
+        results = {}
+        threads = [
+            threading.Thread(
+                target=lambda k, p, s: results.__setitem__(
+                    k, b.submit(p, s, timeout=300)),
+                args=(i, f"prompt-{i}", 100 + i),
+            )
+            for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 4
+
+        sampler = pipe._seg1 or pipe._seg2
+        for i in range(4):
+            txt, pooled = encode([f"prompt-{i}"])
+            z0 = sampler.init_noise(jax.random.key(100 + i), 1)
+            want = np.asarray(pipe(
+                jnp.asarray(txt), jnp.asarray(pooled),
+                jax.random.key(0), z0=z0,
+            ))[0]
+            np.testing.assert_allclose(
+                results[i], want, rtol=2e-5, atol=2e-5,
+            )
+        # 4 requests through 2 slots: the second pair joined mid-flight,
+        # and every request migrated tuned-pool -> base-pool
+        assert b.stats["mid_flight_admissions"] >= 1
+        assert b.stats["migrations"] == 4
+        assert b.stats["requests"] == 4
+        assert b.stats["errors"] == 0
+    finally:
+        b.close()
+
+
+def test_continuous_batcher_single_model_and_unaligned_boundary():
+    """Single-model pipeline (one pool) with chunk that does not divide
+    the step count: rows freeze at t_end mid-chunk, output still matches
+    the one-shot pipeline."""
+    from mixgrpo_tpu.models.flux.model import FluxConfig, init_flux
+    from mixgrpo_tpu.sample import DualFluxPipeline
+    from mixgrpo_tpu.serve import ContinuousBatcher
+
+    flux_cfg = FluxConfig.tiny()
+    base = init_flux(jax.random.key(0), flux_cfg)
+    pipe = DualFluxPipeline(
+        flux_cfg, base, None, height=32, width=32, num_steps=5,
+        text_len=8, dtype=jnp.float32, attn_impl="xla",
+        max_steps_per_call=2,  # 5 steps -> chunks of 2+2+1
+    )
+    _, encode = _tiny_mixed_pipeline()
+    b = ContinuousBatcher(pipe, encode, batch_size=2)
+    try:
+        assert len(b.pools) == 1
+        got = b.submit("lonely", 7, timeout=300)
+        sampler = pipe._seg1 or pipe._seg2
+        txt, pooled = encode(["lonely"])
+        want = np.asarray(pipe(
+            jnp.asarray(txt), jnp.asarray(pooled), jax.random.key(0),
+            z0=sampler.init_noise(jax.random.key(7), 1),
+        ))[0]
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    finally:
+        b.close()
+
+
+def test_continuous_batcher_error_surfaces_and_recovers():
+    from mixgrpo_tpu.serve import ContinuousBatcher
+
+    pipe, encode = _tiny_mixed_pipeline()
+    boom = {"on": True}
+
+    def flaky_encode(prompts):
+        if boom["on"]:
+            raise RuntimeError("encoder exploded")
+        return encode(prompts)
+
+    b = ContinuousBatcher(pipe, flaky_encode, batch_size=2)
+    try:
+        with pytest.raises(RuntimeError, match="encoder exploded"):
+            b.submit("bad", 1, timeout=60)
+        boom["on"] = False
+        out = b.submit("good", 2, timeout=300)
+        assert np.isfinite(out).all()
+        assert b.stats["errors"] == 1
+        assert b.stats["requests"] == 1
+    finally:
+        b.close()
