@@ -33,15 +33,25 @@ class MeshConfig:
     tp: int = 1
 
     def resolved(self, n_devices: int) -> "MeshConfig":
-        known = self.fsdp * self.sp * self.tp
-        dp = self.dp
-        if dp == -1:
+        """Resolve one ``-1`` axis (any of dp/fsdp/sp/tp) to "all remaining
+        devices" — the recipe launch scripts use ``--mesh_fsdp -1`` (round-5
+        rehearsal finding: only dp used to resolve)."""
+        sizes = {"dp": self.dp, "fsdp": self.fsdp, "sp": self.sp, "tp": self.tp}
+        free = [k for k, v in sizes.items() if v == -1]
+        assert len(free) <= 1, f"at most one -1 mesh axis, got {free}"
+        if free:
+            known = 1
+            for k, v in sizes.items():
+                if k != free[0]:
+                    known *= v
             assert n_devices % known == 0, (n_devices, known)
-            dp = n_devices // known
-        assert dp * known == n_devices, (
-            f"mesh {dp}x{self.fsdp}x{self.sp}x{self.tp} != {n_devices} devices"
+            sizes[free[0]] = n_devices // known
+        total = sizes["dp"] * sizes["fsdp"] * sizes["sp"] * sizes["tp"]
+        assert total == n_devices, (
+            f"mesh {sizes['dp']}x{sizes['fsdp']}x{sizes['sp']}x{sizes['tp']}"
+            f" != {n_devices} devices"
         )
-        return MeshConfig(dp, self.fsdp, self.sp, self.tp)
+        return MeshConfig(sizes["dp"], sizes["fsdp"], sizes["sp"], sizes["tp"])
 
 
 AXES = ("dp", "fsdp", "sp", "tp")

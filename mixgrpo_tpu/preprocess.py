@@ -32,9 +32,20 @@ from mixgrpo_tpu.utils.logging import main_print
 def read_prompts(path: str) -> List[str]:
     """Plain prompts.txt, one prompt per line (README flow; fixes the
     broken-at-HEAD get_all_data which json-parses the path string,
-    SURVEY.md §8.3)."""
-    with open(path) as f:
-        return [ln.strip() for ln in f if ln.strip()]
+    SURVEY.md §8.3).  A directory reads every ``*.txt`` inside, sorted —
+    the ``--prompt_dir`` flag's namesake case (round-5 rehearsal finding:
+    passing the directory crashed)."""
+    import glob
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.txt")))
+        if os.path.isdir(path) else [path]
+    )
+    out: List[str] = []
+    for fp in files:
+        with open(fp) as f:
+            out.extend(ln.strip() for ln in f if ln.strip())
+    return out
 
 
 class PromptEncoder:
@@ -119,7 +130,10 @@ def build_prompt_encoder_from_dir(
     from mixgrpo_tpu.models.text.t5 import T5Config, load_t5_hf
     from mixgrpo_tpu.rewards.tokenizer import CLIPTokenizer
 
-    t5_cfg = T5Config.xxl()
+    from mixgrpo_tpu.presets import flux_family
+
+    fam = flux_family()  # MIXGRPO_MODEL_PRESET (flux-dev | tiny rehearsal)
+    t5_cfg = fam["t5"]
     t5_params = load_t5_hf(
         load_safetensors_dir(os.path.join(model_path, "text_encoder_2")),
         t5_cfg,
@@ -127,14 +141,19 @@ def build_prompt_encoder_from_dir(
     t5_tok = AutoTokenizer.from_pretrained(
         os.path.join(model_path, "tokenizer_2")
     )
-    clip_cfg = CLIPConfig.vit_l_14()
+    clip_cfg = fam["clip"]
     clip_params = load_clip_hf_text_only(
         load_safetensors_dir(os.path.join(model_path, "text_encoder")),
         clip_cfg,
     )
-    clip_tok = CLIPTokenizer(
-        clip_bpe_path or os.environ.get("CLIP_BPE_PATH")
-    )
+    # merges default: the FLUX HF layout ships the CLIP BPE table at
+    # tokenizer/merges.txt — fall back to it so a bare model_path works
+    # (round-5 rehearsal finding: with no CLIP_BPE_PATH this crashed)
+    merges = clip_bpe_path or os.environ.get("CLIP_BPE_PATH")
+    if not merges:
+        cand = os.path.join(model_path, "tokenizer", "merges.txt")
+        merges = cand if os.path.exists(cand) else None
+    clip_tok = CLIPTokenizer(merges)
     return PromptEncoder(
         t5_params, t5_cfg, t5_tok, clip_params, clip_cfg, clip_tok,
         max_len=max_len,

@@ -90,10 +90,12 @@ class HPSReward(_ClipRewardBase):
     def from_checkpoint(cls, hps_ckpt_path: str, merges_path: Optional[str] = None,
                         **kw) -> "HPSReward":
         # HPS_v2.1_compressed.pt ships bare; ViT-H-14/224 is its published
-        # geometry, but a sibling config JSON (if present) wins.
+        # geometry, but a sibling config JSON (if present) wins — including
+        # its image_size (round-5 rehearsal finding: the old explicit
+        # image_size=224 stomped the JSON's own value, so any non-224
+        # OpenCLIP HPS variant would build a mismatched vision tower).
         cfg = clip_config_from_checkpoint(
-            hps_ckpt_path, image_size=224,
-            default=CLIPConfig.vit_h_14(image_size=224),
+            hps_ckpt_path, default=CLIPConfig.vit_h_14(image_size=224)
         )
         params = load_clip_openclip(load_torch_state(hps_ckpt_path), cfg)
         tok = CLIPTokenizer(merges_path) if merges_path else None

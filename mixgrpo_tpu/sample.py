@@ -246,25 +246,31 @@ def main():
     from mixgrpo_tpu.preprocess import PromptEncoder, read_prompts
     from mixgrpo_tpu.rewards.tokenizer import CLIPTokenizer
 
-    flux_cfg = FluxConfig.flux_dev()
+    from mixgrpo_tpu.presets import flux_family
+
+    fam = flux_family()  # MIXGRPO_MODEL_PRESET (flux-dev | tiny rehearsal)
+    flux_cfg = fam["flux"]
     base = load_flux_params(os.path.join(args.model_path, "transformer"), flux_cfg)
     tuned = (
         load_flux_params(args.new_model_ckpt, flux_cfg)
         if args.new_model_ckpt else None
     )
-    vae_cfg = VAEConfig.flux_dev()
+    vae_cfg = fam["vae"]
     vae = load_vae_decoder_params(os.path.join(args.model_path, "vae"), vae_cfg)
 
-    t5_cfg = T5Config.xxl()
+    t5_cfg = fam["t5"]
     enc = PromptEncoder(
         load_t5_hf(load_safetensors_dir(
             os.path.join(args.model_path, "text_encoder_2")), t5_cfg),
         t5_cfg,
         AutoTokenizer.from_pretrained(os.path.join(args.model_path, "tokenizer_2")),
         load_clip_hf_text_only(load_safetensors_dir(
-            os.path.join(args.model_path, "text_encoder")), CLIPConfig.vit_l_14()),
-        CLIPConfig.vit_l_14(),
-        CLIPTokenizer(args.clip_bpe_path),
+            os.path.join(args.model_path, "text_encoder")), fam["clip"]),
+        fam["clip"],
+        CLIPTokenizer(
+            args.clip_bpe_path
+            or os.path.join(args.model_path, "tokenizer", "merges.txt")
+        ),
     )
 
     pipe = DualFluxPipeline(

@@ -626,7 +626,10 @@ def main():
     from mixgrpo_tpu.preprocess import build_prompt_encoder_from_dir
     from mixgrpo_tpu.sample import DualFluxPipeline
 
-    flux_cfg = FluxConfig.flux_dev()
+    from mixgrpo_tpu.presets import flux_family
+
+    fam = flux_family()  # MIXGRPO_MODEL_PRESET (flux-dev | tiny rehearsal)
+    flux_cfg = fam["flux"]
     base = load_flux_params(
         os.path.join(args.model_path, "transformer"), flux_cfg
     )
@@ -634,7 +637,7 @@ def main():
         load_flux_params(args.tuned_path, flux_cfg)
         if args.tuned_path else None
     )
-    vae_cfg = VAEConfig.flux_dev()
+    vae_cfg = fam["vae"]
     vae = load_vae_decoder_params(
         os.path.join(args.model_path, "vae"), vae_cfg
     )

@@ -705,6 +705,14 @@ def build_reward_models(cfg: TrainConfig):
     )
 
     merges = os.environ.get("CLIP_BPE_PATH")
+    if not merges:
+        # the FLUX HF layout ships the CLIP BPE table at tokenizer/merges.txt
+        # (round-5 rehearsal finding: reward tokenizers crashed without
+        # CLIP_BPE_PATH even though the table sits next to the model)
+        cand = os.path.join(
+            cfg.paths.pretrained_model_name_or_path, "tokenizer", "merges.txt"
+        )
+        merges = cand if os.path.exists(cand) else None
     out = {}
     active = cfg.reward.active_models()
     if "hpsv2" in active:
@@ -739,13 +747,16 @@ def main():
     args = build_arg_parser().parse_args()
     cfg = config_from_args(args)
 
-    flux_cfg = FluxConfig.flux_dev()
+    from mixgrpo_tpu.presets import flux_family
+
+    fam = flux_family()  # MIXGRPO_MODEL_PRESET (flux-dev | tiny rehearsal)
+    flux_cfg = fam["flux"]
     params = load_flux_params(
         cfg.paths.dit_model_name_or_path
         or os.path.join(cfg.paths.pretrained_model_name_or_path, "transformer"),
         flux_cfg,
     )
-    vae_cfg = VAEConfig.flux_dev()
+    vae_cfg = fam["vae"]
     vae_params = load_vae_decoder_params(
         cfg.paths.vae_model_path
         or os.path.join(cfg.paths.pretrained_model_name_or_path, "vae"),

@@ -80,17 +80,18 @@ def check_flux(path: str, cfg=None, depth=None, dtype=None):
     )
     from mixgrpo_tpu.models.flux.load import load_flux_params
 
-    cfg = cfg or FluxConfig.flux_dev()
+    from mixgrpo_tpu.presets import flux_family
+
+    cfg = cfg or flux_family()["flux"]
     params = load_flux_params(path, cfg)
     if depth is not None:
         dd, ds = depth
         params = dict(params)
-        params["double_blocks"] = jax.tree.map(
-            lambda x: x[:dd], params["double_blocks"]
-        )
-        params["single_blocks"] = jax.tree.map(
-            lambda x: x[:ds], params["single_blocks"]
-        )
+        # (round-5 rehearsal finding: these stacks are keyed "double" /
+        # "single" — the old "double_blocks" names KeyError'd, so the
+        # --flux-depth path had never actually run)
+        params["double"] = jax.tree.map(lambda x: x[:dd], params["double"])
+        params["single"] = jax.tree.map(lambda x: x[:ds], params["single"])
         cfg = FluxConfig(**{
             **cfg.__dict__, "depth_double": dd, "depth_single": ds,
         })
@@ -120,7 +121,9 @@ def check_flux_vae(path: str, cfg=None, dtype=None):
     from mixgrpo_tpu.models.flux.load import load_vae_decoder_params
     from mixgrpo_tpu.models.flux.vae import VAEConfig, vae_decode
 
-    cfg = cfg or VAEConfig.flux_dev()
+    from mixgrpo_tpu.presets import flux_family
+
+    cfg = cfg or flux_family()["vae"]
     params = load_vae_decoder_params(path, cfg)
     lat = jax.random.normal(jax.random.key(11),
                             (1, 16, 16, cfg.latent_channels), jnp.float32)
@@ -134,7 +137,9 @@ def check_t5(path: str, cfg=None, dtype=None):
     from mixgrpo_tpu.models.flux.load import load_safetensors_dir
     from mixgrpo_tpu.models.text.t5 import T5Config, load_t5_hf, t5_encode
 
-    cfg = cfg or T5Config.xxl()
+    from mixgrpo_tpu.presets import flux_family
+
+    cfg = cfg or flux_family()["t5"]
     params = load_t5_hf(load_safetensors_dir(path), cfg)
     ids = _ids(cfg.vocab, 2, 24, seed=3)
     mask = np.ones_like(ids)
@@ -151,7 +156,9 @@ def check_clip_l(path: str, cfg=None, dtype=None):
     from mixgrpo_tpu.models.text.clip import CLIPConfig, clip_text_features
     from mixgrpo_tpu.models.text.clip_load import load_clip_hf_text_only
 
-    cfg = cfg or CLIPConfig.vit_l_14()
+    from mixgrpo_tpu.presets import flux_family
+
+    cfg = cfg or flux_family()["clip"]
     params = load_clip_hf_text_only(load_safetensors_dir(path), cfg)
     ids = np.sort(_ids(cfg.text.vocab, 2, cfg.text.context, seed=4), axis=1)
     pooled = clip_text_features(params, cfg, jnp.asarray(ids),

@@ -33,6 +33,21 @@ GOLDENS=${GOLDENS:-goldens_real.npz}
 PORT=${PORT:-8321}
 mkdir -p "${WORK}"
 
+# console scripts exist only after `pip install -e .`; fall back to module
+# execution so the procedure also runs from a bare checkout (round-5
+# rehearsal finding)
+cmd() {  # cmd <console-script> <module>
+  if command -v "$1" >/dev/null 2>&1; then echo "$1"
+  else echo "python -m $2"; fi
+}
+VERIFY_CMD=$(cmd mixgrpo-verify-weights mixgrpo_tpu.verify_weights)
+PREPROCESS_CMD=$(cmd mixgrpo-preprocess mixgrpo_tpu.preprocess)
+SERVE_CMD=$(cmd mixgrpo-serve mixgrpo_tpu.serve)
+
+# the FLUX HF layout ships the CLIP BPE table the reward tokenizers need
+# (round-5 rehearsal finding: unset CLIP_BPE_PATH crashed the HPS scorer)
+export CLIP_BPE_PATH=${CLIP_BPE_PATH:-${FLUX}/tokenizer/merges.txt}
+
 say() { echo; echo "== first_deploy: $*"; }
 
 opt_flag() {  # opt_flag <flag> <path> -> emits "<flag> <path>" if it exists
@@ -41,11 +56,13 @@ opt_flag() {  # opt_flag <flag> <path> -> emits "<flag> <path>" if it exists
 
 # ---------------------------------------------------------------- 1. weights
 if [ "${SKIP_VERIFY:-0}" != "1" ]; then
-  MODE=--check
+  # checking is the CLI default; --record is the only mode flag
+  # (round-5 rehearsal finding: a literal --check was rejected)
+  MODE=
   [ -f "${GOLDENS}" ] || MODE=--record
-  say "verify-weights ${MODE} (goldens: ${GOLDENS})"
+  say "verify-weights ${MODE:-check} (goldens: ${GOLDENS})"
   # shellcheck disable=SC2046
-  mixgrpo-verify-weights ${MODE} --goldens "${GOLDENS}" \
+  ${VERIFY_CMD} ${MODE} --goldens "${GOLDENS}" \
     --flux "${FLUX}/transformer" --flux-depth "${FLUX_DEPTH:-4,8}" \
     --flux-vae "${FLUX}/vae" \
     --t5 "${FLUX}/text_encoder_2" \
@@ -76,7 +93,7 @@ if [ "${SKIP_PREPROCESS:-0}" != "1" ]; then
     "a macro shot of a dew-covered spider web at dawn" \
     "a futuristic city skyline at night, neon reflections" \
     > "${PROMPTS}/prompts.txt"
-  mixgrpo-preprocess --prompt_dir "${PROMPTS}" --output_dir "${EMB}" \
+  ${PREPROCESS_CMD} --prompt_dir "${PROMPTS}" --output_dir "${EMB}" \
     --model_path "${FLUX}" --batch_size 4
 fi
 
@@ -106,7 +123,7 @@ fi
 # ----------------------------------------------------------------- 4. serve
 if [ "${SKIP_SERVE:-0}" != "1" ]; then
   say "serve one image over HTTP (:${PORT})"
-  mixgrpo-serve --model_path "${FLUX}" --port "${PORT}" \
+  ${SERVE_CMD} --model_path "${FLUX}" --port "${PORT}" \
     --batch_size 1 --height 512 --width 512 --num_steps 8 \
     --max_steps_per_call 8 &
   SERVE_PID=$!
