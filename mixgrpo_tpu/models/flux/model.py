@@ -156,6 +156,11 @@ _FORCE_GATHER = False
 # add (195 ms/update-iter in the 512px profile).  Env-gated for A/B.
 _CYCLE_VJP = os.environ.get("MIXGRPO_CYCLE_VJP", "1") != "0"
 
+# unroll factor for the modular-gather virtual-depth scan (round-5 probe
+# knob, scripts/probe_cycle_layout.py): unrolling lets XLA overlap the
+# next application's weight gather with the current one's compute.
+_GATHER_UNROLL = int(os.environ.get("MIXGRPO_GATHER_UNROLL", "1"))
+
 # attention activation layout (env-gated for A/B):
 #   bhsd (default) — head-major (B, H, S, D) via explicit split/merge
 #       transposes around the attention kernel.
@@ -434,7 +439,9 @@ def flux_forward(
                 p = jax.tree.map(lambda w: w[i % k], stack)
                 return body(c2, p)
 
-            carry, _ = jax.lax.scan(gather_body, carry, jnp.arange(n))
+            carry, _ = jax.lax.scan(
+                gather_body, carry, jnp.arange(n), unroll=_GATHER_UNROLL
+            )
             return carry
 
         (x, c) = cycle_scan(

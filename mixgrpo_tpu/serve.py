@@ -46,6 +46,7 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     image: Optional[np.ndarray] = None
     error: Optional[str] = None
+    ts: float = field(default_factory=time.time)  # enqueue time
 
 
 class RequestBatcher:
@@ -254,13 +255,28 @@ class ContinuousBatcher:
     latency changes.  Single-model pipelines use one pool.
     """
 
-    def __init__(self, pipeline, encode_fn, batch_size: int = 4):
+    def __init__(self, pipeline, encode_fn, batch_size: int = 4,
+                 single_fn=None, single_grace_s: float = 0.25):
+        """``single_fn(prompts, seeds) -> images`` is the optional LATENCY
+        TIER (same contract as RequestBatcher's): when every slot is idle
+        and exactly one request waits, it rides a one-shot batch-1 program
+        instead of paying the full-B chunk engine for 1/B utilization
+        (round-5 recipe measurement: 115 s vs 26 s at concurrency 1).
+
+        ``single_grace_s``: co-arrival window before a lone request takes
+        the single tier.  The tier runs SYNCHRONOUSLY in the worker, so a
+        burst's first arrival capturing it would starve the rest for a
+        whole image time (round-5 burst run: 2 of 8 requests rode the
+        tier and wall grew 216 -> 243 s); waiting out the window first
+        costs a lone request ~1% of its image time."""
         import jax
 
         self.engine = ContinuousEngine(pipeline)
         self.pipe = pipeline
         self.encode_fn = encode_fn
         self.batch_size = batch_size
+        self.single_fn = single_fn
+        self.single_grace_s = single_grace_s
         sampler = pipeline._seg1 or pipeline._seg2
         self._noise_row = jax.jit(lambda k: sampler.init_noise(k, 1))
         self._decode1 = None  # lazily-jitted batch-1 VAE decode
@@ -277,7 +293,7 @@ class ContinuousBatcher:
         self._pending: list = []  # worker-local FIFO head (idle wakeups)
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
                       "rounds": 0, "mid_flight_admissions": 0,
-                      "migrations": 0}
+                      "migrations": 0, "single_dispatches": 0}
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -345,12 +361,6 @@ class ContinuousBatcher:
         )
         while free and self._pending:
             newly.append((free.pop(0), self._pending.pop(0)))
-        while free and not self.queue.empty():
-            try:
-                req = self.queue.get_nowait()
-            except queue.Empty:
-                break
-            newly.append((free.pop(0), req))
         if not newly:
             return
         try:
@@ -361,64 +371,146 @@ class ContinuousBatcher:
                 r.done.set()
             self.stats["errors"] += 1
             return
-        for j, (slot, req) in enumerate(newly):
-            z0 = self._noise_row(jax.random.key(int(req.seed)))[0]
-            pool.z = pool.z.at[slot].set(z0.astype(jnp.float32))
-            pool.txt = pool.txt.at[slot].set(
-                jnp.asarray(txt[j], self.pipe.dtype))
-            pool.pooled = pool.pooled.at[slot].set(
-                jnp.asarray(pooled[j], self.pipe.dtype))
-            pool.offsets[slot] = pool.t_start
+        # one batched row-scatter per array (per-row .at[].set chains cost
+        # a device dispatch each — measurable at tunnel latencies)
+        slots = jnp.asarray([s for s, _ in newly])
+        z0 = jnp.concatenate([
+            self._noise_row(jax.random.key(int(r.seed))) for _, r in newly
+        ]).astype(jnp.float32)
+        pool.z = pool.z.at[slots].set(z0)
+        pool.txt = pool.txt.at[slots].set(jnp.asarray(txt, self.pipe.dtype))
+        pool.pooled = pool.pooled.at[slots].set(
+            jnp.asarray(pooled, self.pipe.dtype))
+        # copy-on-write: the CPU backend may alias the previous offsets
+        # array zero-copy into a still-queued engine dispatch — in-place
+        # mutation raced with it (observed under the 8-device test mesh)
+        off = pool.offsets.copy()
+        for slot, req in newly:
+            off[slot] = pool.t_start
             pool.reqs[slot] = req
             if mid_flight:
                 self.stats["mid_flight_admissions"] += 1
+        pool.offsets = off
 
     def _harvest(self):
         """Move boundary rows to the next pool; deliver finished rows.
 
         Pools are walked last-to-first so a row can migrate into a slot
-        freed by a delivery in the same pass."""
+        freed by a delivery in the same pass.  Row moves and the final
+        host fetch are BATCHED device ops (one gather/scatter per array),
+        not per-row chains."""
+        import jax.numpy as jnp
+
         for pi, pool in reversed(list(enumerate(self.pools))):
             nxt = self.pools[pi + 1] if pi + 1 < len(self.pools) else None
-            for i, req in enumerate(pool.reqs):
-                if req is None or pool.offsets[i] < pool.t_end:
+            ready = [
+                i for i, r in enumerate(pool.reqs)
+                if r is not None and pool.offsets[i] >= pool.t_end
+            ]
+            if not ready:
+                continue
+            if nxt is not None:
+                free = [j for j, r in enumerate(nxt.reqs) if r is None]
+                moves = list(zip(ready, free))  # next pool full: rest wait
+                if not moves:
                     continue
-                if nxt is not None:
-                    j = next(
-                        (jj for jj, r in enumerate(nxt.reqs) if r is None),
-                        None,
+                src = jnp.asarray([i for i, _ in moves])
+                dst = jnp.asarray([j for _, j in moves])
+                nxt.z = nxt.z.at[dst].set(pool.z[src])
+                nxt.txt = nxt.txt.at[dst].set(pool.txt[src])
+                nxt.pooled = nxt.pooled.at[dst].set(pool.pooled[src])
+                noff, poff = nxt.offsets.copy(), pool.offsets.copy()
+                for i, j in moves:
+                    noff[j] = nxt.t_start
+                    nxt.reqs[j] = pool.reqs[i]
+                    pool.reqs[i] = None
+                    poff[i] = pool.t_end
+                nxt.offsets, pool.offsets = noff, poff
+                self.stats["migrations"] += len(moves)
+            else:
+                try:
+                    images = self._finish_rows(
+                        pool.z[jnp.asarray(ready)]
                     )
-                    if j is None:
-                        continue  # next pool full; row stays frozen
-                    nxt.z = nxt.z.at[j].set(pool.z[i])
-                    nxt.txt = nxt.txt.at[j].set(pool.txt[i])
-                    nxt.pooled = nxt.pooled.at[j].set(pool.pooled[i])
-                    nxt.offsets[j] = nxt.t_start
-                    nxt.reqs[j] = req
-                    self.stats["migrations"] += 1
-                else:
-                    try:
-                        req.image = self._finish_row(pool.z[i])
-                    except Exception as e:
-                        req.error = f"{type(e).__name__}: {e}"
-                        self.stats["errors"] += 1
+                    for n, i in enumerate(ready):
+                        pool.reqs[i].image = images[n]
+                except Exception as e:
+                    for i in ready:
+                        pool.reqs[i].error = f"{type(e).__name__}: {e}"
+                    self.stats["errors"] += 1
+                poff = pool.offsets.copy()
+                for i in ready:
                     self.stats["requests"] += 1
-                    req.done.set()
-                pool.reqs[i] = None
-                pool.offsets[i] = pool.t_end
+                    pool.reqs[i].done.set()
+                    pool.reqs[i] = None
+                    poff[i] = pool.t_end
+                pool.offsets = poff
 
-    def _finish_row(self, z_row) -> np.ndarray:
+    def _finish_rows(self, z_rows) -> np.ndarray:
+        """(n, S, C) latent rows -> (n, ...) host images (or latents).
+        Decodes row-by-row on a batch-1 program (n varies per boundary —
+        batch-n programs would recompile), fetches in ONE host transfer."""
         if self.pipe._decode is None:
-            return np.asarray(z_row, np.float32)
-        if self._decode1 is None:
-            import jax
+            return np.asarray(z_rows, np.float32)
+        import jax
+        import jax.numpy as jnp
 
+        if self._decode1 is None:
             self._decode1 = jax.jit(self.pipe._decode_impl)
-        img = self._decode1(self.pipe.vae_params, z_row[None])
-        return np.asarray(img[0], np.float32)
+        rows = [
+            self._decode1(self.pipe.vae_params, z_rows[i : i + 1])[0]
+            for i in range(z_rows.shape[0])
+        ]
+        return np.asarray(jnp.stack(rows), np.float32)
+
+    def _any_active(self) -> bool:
+        return any(r is not None for p in self.pools for r in p.reqs)
+
+    def _try_single(self) -> bool:
+        """Latency tier: idle system + exactly one waiting request rides a
+        one-shot batch-1 program (~1x image time instead of a full-B chunk
+        walk at 1/B utilization).  A lone request younger than
+        ``single_grace_s`` first waits out the co-arrival window (blocking
+        on the queue — the system is idle) so a burst's first arrival
+        cannot capture the worker for a synchronous batch-1 run."""
+        if (
+            self.single_fn is None or self._any_active()
+            or len(self._pending) != 1 or not self.queue.empty()
+        ):
+            return False
+        remaining = self.single_grace_s - (time.time() - self._pending[0].ts)
+        if remaining > 0:
+            try:
+                self._pending.append(self.queue.get(timeout=remaining))
+                return False  # company arrived: co-batch through the pools
+            except queue.Empty:
+                pass
+            if self._stop.is_set():
+                return False
+        req = self._pending.pop(0)
+        try:
+            images = np.asarray(self.single_fn([req.prompt], [req.seed]))
+            req.image = images[0]
+            self.stats["single_dispatches"] += 1
+        except Exception as e:
+            req.error = f"{type(e).__name__}: {e}"
+            self.stats["errors"] += 1
+        self.stats["requests"] += 1
+        req.done.set()
+        return True
+
+    def _drain_queue(self):
+        while True:
+            try:
+                self._pending.append(self.queue.get_nowait())
+            except queue.Empty:
+                return
 
     def _run(self):
         while not self._stop.is_set():
+            self._drain_queue()
+            if self._try_single():
+                continue
             self._admit()
             progressed = False
             for pool in self.pools:
@@ -441,11 +533,13 @@ class ContinuousBatcher:
                         r.error = f"{type(e).__name__}: {e}"
                         r.done.set()
                         pool.reqs[i] = None
-                    pool.offsets[:] = pool.t_end
+                    pool.offsets = np.full_like(pool.offsets, pool.t_end)
                     continue
-                pool.offsets[active] = np.minimum(
-                    pool.offsets[active] + self.engine.chunk, pool.t_end
+                off = pool.offsets.copy()
+                off[active] = np.minimum(
+                    off[active] + self.engine.chunk, pool.t_end
                 )
+                pool.offsets = off
                 progressed = True
             if progressed:
                 self.stats["rounds"] += 1
@@ -650,8 +744,9 @@ def main():
     )
     encoder = build_prompt_encoder_from_dir(args.model_path)
     if args.continuous:
+        gen1 = make_generate_fn(pipe, encoder) if args.latency_tier else None
         batcher = ContinuousBatcher(
-            pipe, encoder, batch_size=args.batch_size
+            pipe, encoder, batch_size=args.batch_size, single_fn=gen1
         )
     else:
         gen = make_generate_fn(pipe, encoder)  # PromptEncoder is callable

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--bwd", action="store_true", help="also time fwd+bwd")
     ap.add_argument("--xla", action="store_true", help="also time XLA attention")
     ap.add_argument("--n", type=int, default=8, help="timing loop length")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--valid", type=int, default=None,
+                    help="valid key count < S: run with the model's padded "
+                         "key mask (e.g. 2537 of 2560 at the 720px recipe)")
     args = ap.parse_args()
 
     import bench
@@ -41,7 +45,7 @@ def main():
     from mixgrpo_tpu.ops.flash_attention import flash_attention
     from mixgrpo_tpu.utils.timing import robust_slope
 
-    B, H, D = 1, 24, 128
+    B, H, D = args.batch, 24, 128
     peak = 197e12
 
     # robust_slope validates the (0, n, 2n) triple and retries — round 3
@@ -91,6 +95,11 @@ def main():
         ks = jax.random.split(jax.random.key(S), 3)
         q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.bfloat16)
                    for kk in ks)
+        mask = None
+        if args.valid is not None:
+            # the model's padded-sequence key mask shape: (B, 1, 1, S)
+            mask = (jnp.arange(S) < args.valid)[None, None, None, :]
+            mask = jnp.broadcast_to(mask, (B, 1, 1, S))
         flops_fwd = 4 * B * H * S * S * D  # qk^T + pv
         rows = []
 
@@ -128,7 +137,7 @@ def main():
             for bk_s in (("auto",) if bq is None else args.block_k.split(",")):
                 bk = None if bk_s in ("full", "auto") else int(bk_s)
                 fn = lambda q, k, v, bq=bq, bk=bk: flash_attention(
-                    q, k, v, block_q=bq, block_k=bk)
+                    q, k, v, mask=mask, block_q=bq, block_k=bk)
                 row = {"impl": f"pallas bq={bq_s} bk={bk_s}"}
                 row.update(fwd_fields(timed(fn, q, k, v, args.n)))
                 if args.bwd:

@@ -80,11 +80,16 @@ def main():
     # device call, which reliably crashed the tunneled TPU worker (probe
     # history in bench_results/round3/probe_serve*); production behavior
     # is identical — the chunk schedule is data on one compiled program.
+    # continuous mode prefers a chunk that divides BOTH segment lengths
+    # (30/20 -> 10): rows then never freeze mid-chunk, so no computed
+    # steps are wasted at segment boundaries (round-5 measurement: the
+    # chunk=8 run wasted 6/56 chunk-steps to boundary freezing)
+    chunk = (10 if args.continuous else 8) if args.mode == "recipe" else None
     pipe = DualFluxPipeline(
         cfg, base, tuned, height=HEIGHT, width=HEIGHT, num_steps=STEPS,
         mix_sampling_steps=MIX, text_len=TEXT_LEN, dtype=jnp.bfloat16,
         attn_impl="auto", quant=args.quant, virtual_depth=vd,
-        max_steps_per_call=8 if args.mode == "recipe" else None,
+        max_steps_per_call=chunk,
     )
 
     def encode(prompts):
@@ -101,7 +106,10 @@ def main():
     if args.continuous:
         from mixgrpo_tpu.serve import ContinuousBatcher
 
-        batcher = ContinuousBatcher(pipe, encode, batch_size=BATCH)
+        batcher = ContinuousBatcher(
+            pipe, encode, batch_size=BATCH,
+            single_fn=make_generate_fn(pipe, encode),
+        )
     else:
         gen = make_generate_fn(pipe, encode)
         batcher = RequestBatcher(

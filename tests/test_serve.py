@@ -348,6 +348,59 @@ def test_continuous_batcher_single_model_and_unaligned_boundary():
         b.close()
 
 
+def test_continuous_batcher_latency_tier():
+    """With ``single_fn`` configured, a lone request on an idle system
+    rides the one-shot batch-1 program (round-5 recipe measurement: 25 s
+    vs 115 s through the chunk engine at concurrency 1) and reproduces
+    the chunk-engine result bit-for-bit in f32; concurrent requests still
+    go through the pool engine."""
+    from mixgrpo_tpu.serve import ContinuousBatcher, make_generate_fn
+
+    pipe, encode = _tiny_mixed_pipeline()
+    b = ContinuousBatcher(
+        pipe, encode, batch_size=2, single_fn=make_generate_fn(pipe, encode)
+    )
+    try:
+        lone = b.submit("prompt-solo", 42, timeout=300)
+        assert b.stats["single_dispatches"] == 1
+        assert b.stats["requests"] == 1
+
+        sampler = pipe._seg1 or pipe._seg2
+        txt, pooled = encode(["prompt-solo"])
+        want = np.asarray(pipe(
+            jnp.asarray(txt), jnp.asarray(pooled), jax.random.key(0),
+            z0=sampler.init_noise(jax.random.key(42), 1),
+        ))[0]
+        np.testing.assert_allclose(lone, want, rtol=2e-5, atol=2e-5)
+
+        # a 3-deep burst exceeds the tier's idle+lone guard: the pool
+        # engine serves it, and per-(prompt, seed) outputs still match
+        results = {}
+        threads = [
+            threading.Thread(
+                target=lambda k, p, s: results.__setitem__(
+                    k, b.submit(p, s, timeout=300)),
+                args=(i, f"prompt-{i}", 100 + i),
+            )
+            for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(3):
+            txt, pooled = encode([f"prompt-{i}"])
+            want = np.asarray(pipe(
+                jnp.asarray(txt), jnp.asarray(pooled), jax.random.key(0),
+                z0=sampler.init_noise(jax.random.key(100 + i), 1),
+            ))[0]
+            np.testing.assert_allclose(results[i], want, rtol=2e-5, atol=2e-5)
+        assert b.stats["requests"] == 4
+        assert b.stats["errors"] == 0
+    finally:
+        b.close()
+
+
 def test_continuous_batcher_error_surfaces_and_recovers():
     from mixgrpo_tpu.serve import ContinuousBatcher
 
