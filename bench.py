@@ -6,12 +6,13 @@ Method (MEASURED, not extrapolated): the full 11.9B-param FLUX-dev does
 not fit a single v5e (16 GB HBM; bf16 weights alone are 24 GB), so the
 forward is run at full width (hidden 3072, 24 heads x 128, S = 512 txt +
 1024 img tokens @512px) with ``virtual_depth=(19, 38)``: all 19 double and
-38 single block applications execute on-chip, cycling 2 resident double /
-4 resident single weight stacks.  Per block application the MXU compute
-and the HBM weight stream are exactly those of the full model (each scan
-iteration dynamic-slices one block's weights from HBM — weight *values*
-repeat, the program and traffic do not change), so the wall-clock is the
-true full-depth forward time minus only the one-time 24 GB residency.
+38 single block applications execute on-chip, cycling 1 resident double /
+2 resident single weight stacks (static-slice cycling; see DD, DS below).
+Per block application the MXU compute and the HBM weight stream are
+exactly those of the full model (each application streams one block's
+weights from HBM — weight *values* repeat, the program and traffic do
+not change), so the wall-clock is the true full-depth forward time minus
+only the one-time 24 GB residency.
 
 rollout images/sec/chip = 1 / (25 steps x t_per_image), with the forward
 measured at the recipe's batched rollout shape (B=2; the per-block weight
@@ -53,7 +54,20 @@ import time
 
 import numpy as np
 
-DD, DS = 2, 4  # measured depth (double, single)
+# Resident stack depths for the weight-cycling emulation.  (1, 2) DIVIDE
+# the true depths (19, 38), so flux_forward cycles them with STATIC
+# per-block slices (cycle_scan nested scan) instead of the w[i % k]
+# modular dynamic-tree-gather the old (2, 4) stacks forced — the same
+# weight-delivery structure a real full-depth scan has (weights stream
+# as scan xs; no per-step index gather).  Measured round 5
+# (scripts/probe_cycle_layout.py, bench_results/round5/): 512px B=2
+# full-depth forward 134.7 -> 131.4 ms/img (+2.5%); gather-scan
+# unroll=2 measured WORSE (136.2).  Same per-application MXU compute
+# and HBM weight traffic either way (neither stack fits VMEM, so every
+# application re-streams its block) — only weight *values* repeat more
+# often, which timing cannot see.  bench_e2e.py and bench_serve.py
+# already used (1, 2); the headline now matches their methodology.
+DD, DS = 1, 2  # resident stack depth (double, single)
 FULL_DD, FULL_DS = 19, 38
 HEIGHT = 512
 TEXT_LEN = 512

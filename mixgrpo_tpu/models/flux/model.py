@@ -210,7 +210,7 @@ def _qk_norm(q, k, qscale, kscale, eps):
 
 
 def _double_block(p, cfg: FluxConfig, img, txt, vec, rope_cos, rope_sin,
-                  attn_impl, dtype, attn_mask=None):
+                  attn_impl, dtype, attn_valid=None, attn_mask=None):
     """Double-stream MMDiT block (exemplar models.py:23-246)."""
     H, eps = cfg.num_heads, cfg.eps
     i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2 = L.modulation(
@@ -243,7 +243,9 @@ def _double_block(p, cfg: FluxConfig, img, txt, vec, rope_cos, rope_sin,
     k = apply_rope(k, rc, rs)
 
     out = constrain_attn(
-        attention(q, k, v, mask=attn_mask, impl=attn_impl, layout=lay), lay
+        attention(q, k, v, mask=attn_mask, kv_valid=attn_valid,
+                  impl=attn_impl, layout=lay),
+        lay,
     )
     out = _merge_heads(out)
     Lt = txt.shape[1]
@@ -264,7 +266,7 @@ def _double_block(p, cfg: FluxConfig, img, txt, vec, rope_cos, rope_sin,
 
 
 def _single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl,
-                  dtype, attn_mask=None):
+                  dtype, attn_valid=None, attn_mask=None):
     """Single-stream block with fused projections (exemplar models.py:248-369)."""
     H, h, mh, eps = cfg.num_heads, cfg.hidden_size, cfg.mlp_hidden, cfg.eps
     shift, scale, gate = L.modulation(p["mod"], vec, 3, dtype)
@@ -281,7 +283,9 @@ def _single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl,
     k = apply_rope(k, rc, rs)
 
     attn_out = constrain_attn(
-        attention(q, k, v, mask=attn_mask, impl=attn_impl, layout=lay), lay
+        attention(q, k, v, mask=attn_mask, kv_valid=attn_valid,
+                  impl=attn_impl, layout=lay),
+        lay,
     )
     attn_out = _merge_heads(attn_out)
     out = L.linear(
@@ -337,7 +341,7 @@ def flux_forward(
     L_txt, L_img = txt.shape[1], img.shape[1]
     S_total = L_txt + L_img
     npad = (-S_total) % pad_seq_multiple if pad_seq_multiple else 0
-    attn_mask = None
+    attn_valid = None
     if npad and S_total >= 8 * pad_seq_multiple:
         img = jnp.pad(img, ((0, 0), (0, npad), (0, 0)))
         rope_cos = jnp.concatenate(
@@ -346,10 +350,11 @@ def flux_forward(
         rope_sin = jnp.concatenate(
             [rope_sin, jnp.zeros((npad, rope_sin.shape[-1]), rope_sin.dtype)]
         )
-        valid = jnp.arange(S_total + npad) < S_total
-        attn_mask = jnp.broadcast_to(
-            valid[None, None, None, :], (img.shape[0], 1, 1, S_total + npad)
-        )
+        # STATIC prefix-valid count: folds into the flash kernel's
+        # alignment mask (col < kv_len) at zero extra kernel cost, and no
+        # traced mask operand enters the block scan (round 5; previously a
+        # (B,1,1,S) bool mask paid a (BQ,BK) bias add in every kernel)
+        attn_valid = S_total
 
     x = L.linear(params["x_embedder"], img, dtype)
     c = L.linear(params["context_embedder"], txt, dtype)
@@ -375,14 +380,14 @@ def flux_forward(
         img_h, txt_h = carry
         img_h, txt_h = _double_block(
             p, cfg, img_h, txt_h, vec, rope_cos, rope_sin, attn_impl, dtype,
-            attn_mask=attn_mask,
+            attn_valid=attn_valid,
         )
         return (constrain_residual(img_h), constrain_residual(txt_h)), None
 
     def single_body(x_h, p):
         out = _single_block(
             p, cfg, x_h, vec, rope_cos, rope_sin, attn_impl, dtype,
-            attn_mask=attn_mask,
+            attn_valid=attn_valid,
         )
         return constrain_residual(out), None
 

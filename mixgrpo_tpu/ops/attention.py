@@ -45,7 +45,8 @@ def _on_tpu() -> bool:
     return plat in ("tpu", "axon")
 
 
-def attention(q, k, v, mask=None, impl: str = "auto", layout: str = "bhsd"):
+def attention(q, k, v, mask=None, impl: str = "auto", layout: str = "bhsd",
+              kv_valid=None):
     """Bidirectional scaled dot-product attention over (B, H, S, D) — or
     (B, S, H, D) with ``layout="bshd"`` (the FLUX fast path: the packed
     qkv projection's head split becomes a free reshape; the Pallas kernel
@@ -53,14 +54,29 @@ def attention(q, k, v, mask=None, impl: str = "auto", layout: str = "bhsd"):
     paying (B,S,H*D) -> (B,H,S,D) relayout transposes).
 
     ``mask``: optional (B, 1|H, S, S) or (S, S) boolean, True = attend.
+    ``kv_valid``: static int — only the first ``kv_valid`` keys are
+    valid (the contiguous-prefix mask of lane-alignment padding); folds
+    into the Pallas kernel's alignment mask at zero extra cost and
+    never enters the traced program as an operand.  Mutually exclusive
+    with ``mask``.
     The SP impls (ulysses/ring) operate natively on (B, H, S, D); bshd
     inputs are converted at this boundary (SP is off by default, as in
     the reference).
     """
+    if kv_valid is not None:
+        assert mask is None, "mask and kv_valid are mutually exclusive"
+        if int(kv_valid) >= k.shape[2 if layout == "bhsd" else 1]:
+            kv_valid = None  # nothing masked
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
     with jax.named_scope(f"mmdit_attention_{impl}"):
         if impl in ("ulysses", "ring"):
+            if kv_valid is not None:
+                # the SP impls shard keys across chips — hand them the
+                # equivalent explicit mask instead of a prefix count
+                Sk = k.shape[2 if layout == "bhsd" else 1]
+                mask = (jnp.arange(Sk) < kv_valid)[None, None, None, :]
+                kv_valid = None
             if layout == "bshd":
                 out = attention(
                     q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
@@ -83,5 +99,9 @@ def attention(q, k, v, mask=None, impl: str = "auto", layout: str = "bhsd"):
         if impl == "pallas":
             from mixgrpo_tpu.ops.flash_attention import flash_attention
 
-            return flash_attention(q, k, v, mask=mask, layout=layout)
+            return flash_attention(q, k, v, mask=mask, layout=layout,
+                                   kv_valid=kv_valid)
+        if kv_valid is not None:
+            Sk = k.shape[2 if layout == "bhsd" else 1]
+            mask = (jnp.arange(Sk) < kv_valid)[None, None, None, :]
         return _xla_attention(q, k, v, mask=mask, layout=layout)

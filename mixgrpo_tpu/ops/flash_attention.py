@@ -43,7 +43,7 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch, scale,
-                kv_len, block_k, want_lse):
+                kv_len, block_k, want_lse, has_bias=True):
     if want_lse:
         o_ref, lse_ref, m_scr, l_scr, acc_scr = out_and_scratch
     else:
@@ -67,9 +67,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch, scale,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BQ, BK)
-    s = s + kbias_ref[...]  # (1, BK) additive key mask (0 or NEG_INF)
+    if has_bias:
+        s = s + kbias_ref[...]  # (1, BK) additive key mask (0 or NEG_INF)
 
-    # mask key-side padding
+    # mask key-side padding (kv_len already folds a static prefix-valid
+    # count — flash_attention(kv_valid=...) — so that case costs NOTHING
+    # beyond this always-present alignment mask)
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < kv_len, s, NEG_INF)
 
@@ -99,7 +102,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch, scale,
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
                 dk_ref, dv_ref, dk_scr, dv_scr, *, scale, kv_len, block_k,
-                block_q, q_len):
+                block_q, q_len, has_bias=True):
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
     ki = pl.program_id(1)
@@ -113,7 +116,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
     k = k_ref[...]  # (BK, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + kbias_ref[...]  # (BQ, BK)
+    ) * scale  # (BQ, BK)
+    if has_bias:
+        s = s + kbias_ref[...]
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     valid = jnp.logical_and(col < kv_len, row < q_len)
@@ -150,7 +155,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
 
 def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
                       dq_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale,
-                      kv_len, block_q, q_len):
+                      kv_len, block_q, q_len, has_bias=True):
     """Single-pass dq/dk/dv for the full-K case (one K block).
 
     With the whole key range resident, each q block's dq is complete in
@@ -172,7 +177,9 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
     k = k_ref[...]  # (BK, D) — the full key range
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + kbias_ref[...]  # (BQ, BK)
+    ) * scale  # (BQ, BK)
+    if has_bias:
+        s = s + kbias_ref[...]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     valid = jnp.logical_and(col < kv_len, row < q_len)
@@ -210,7 +217,7 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
-               dq_ref, dq_scr, *, scale, kv_len, block_k):
+               dq_ref, dq_scr, *, scale, kv_len, block_k, has_bias=True):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -222,7 +229,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
     k = k_ref[...]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + kbias_ref[...]
+    ) * scale
+    if has_bias:
+        s = s + kbias_ref[...]
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     lse = lse_ref[...][:, :1]
     p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
@@ -332,9 +341,10 @@ def _unprep(x, layout, B, H, S, D):
 
 
 def _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout,
-              want_lse=True):
+              kv_valid=None, has_bias=True, want_lse=True):
     B, H, S, D = _shape_of(q, layout)
     Sk = _shape_of(k, layout)[2]
+    kv_len = Sk if kv_valid is None else min(kv_valid, Sk)
     bq, bk = _block_sizes(block_q, block_k, S, Sk)
     Sp = pl.cdiv(S, bq) * bq
     Skp = pl.cdiv(Sk, bk) * bk
@@ -346,8 +356,9 @@ def _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout,
     kb = _pad_to(kbias, Skp, 1)[:, None, :]
 
     grid = (B * H, Sp // bq, Skp // bk)
-    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=Sk,
-                               block_k=bk, want_lse=want_lse)
+    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
+                               block_k=bk, want_lse=want_lse,
+                               has_bias=has_bias)
     qpick = lambda b, qi, ki: qi
     kpick = lambda b, qi, ki: ki
     out_specs = [_row_spec(layout, H, bq, D, qpick)]
@@ -379,22 +390,26 @@ def _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout,
     return (o, res[1][:, :S]) if want_lse else (o, None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, kbias, scale, block_q, block_k, layout):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash(q, k, v, kbias, scale, block_q, block_k, layout, kv_valid,
+           has_bias):
     o, _ = _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout,
-                     want_lse=False)
+                     kv_valid=kv_valid, has_bias=has_bias, want_lse=False)
     return o
 
 
-def _flash_fwd(q, k, v, kbias, scale, block_q, block_k, layout):
-    o, lse = _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout)
+def _flash_fwd(q, k, v, kbias, scale, block_q, block_k, layout, kv_valid,
+               has_bias):
+    o, lse = _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout,
+                       kv_valid=kv_valid, has_bias=has_bias)
     return o, (q, k, v, kbias, o, lse)
 
 
-def _flash_bwd(scale, block_q, block_k, layout, res, do):
+def _flash_bwd(scale, block_q, block_k, layout, kv_valid, has_bias, res, do):
     q, k, v, kbias, o, lse = res
     B, H, S, D = _shape_of(q, layout)
     Sk = _shape_of(k, layout)[2]
+    kv_len = Sk if kv_valid is None else min(kv_valid, Sk)
     bq, bk = _block_sizes(block_q, block_k, S, Sk)
     Sp = pl.cdiv(S, bq) * bq
     Skp = pl.cdiv(Sk, bk) * bk
@@ -412,7 +427,8 @@ def _flash_bwd(scale, block_q, block_k, layout, res, do):
         # full-K single block at training shapes: one fused pass computes
         # dq/dk/dv together (see _fused_bwd_kernel)
         fused = functools.partial(
-            _fused_bwd_kernel, scale=scale, kv_len=Sk, block_q=bq, q_len=S
+            _fused_bwd_kernel, scale=scale, kv_len=kv_len, block_q=bq,
+            q_len=S, has_bias=has_bias,
         )
         qpick = lambda b, qi: qi
         kpick = lambda b, qi: 0
@@ -452,7 +468,8 @@ def _flash_bwd(scale, block_q, block_k, layout, res, do):
         )
 
     dkv_kernel = functools.partial(
-        _dkv_kernel, scale=scale, kv_len=Sk, block_k=bk, block_q=bq, q_len=S
+        _dkv_kernel, scale=scale, kv_len=kv_len, block_k=bk, block_q=bq,
+        q_len=S, has_bias=has_bias,
     )
     qpick_kq = lambda b, ki, qi: qi
     kpick_kq = lambda b, ki, qi: ki
@@ -483,7 +500,8 @@ def _flash_bwd(scale, block_q, block_k, layout, res, do):
         interpret=_interpret(),
     )(qf, kf, vf, dof, lsef, of, kb)
 
-    dq_kernel = functools.partial(_dq_kernel, scale=scale, kv_len=Sk, block_k=bk)
+    dq_kernel = functools.partial(_dq_kernel, scale=scale, kv_len=kv_len,
+                                  block_k=bk, has_bias=has_bias)
     qpick_qk = lambda b, qi, ki: qi
     kpick_qk = lambda b, qi, ki: ki
     dq = pl.pallas_call(
@@ -529,7 +547,7 @@ def _auto_block_k(block_q: int, S: int, Sk: int) -> int:
 
 
 def flash_attention(q, k, v, mask=None, block_q=None, block_k=None,
-                    layout="bhsd"):
+                    layout="bhsd", kv_valid=None):
     """Flash attention over (B, H, S, D) — or (B, S, H, D) with
     ``layout="bshd"``; optional key-side mask.
 
@@ -551,6 +569,15 @@ def flash_attention(q, k, v, mask=None, block_q=None, block_k=None,
     dependent masks are not supported.  Key-side *padding* from block
     alignment is masked internally.
 
+    ``kv_valid`` (static int): the first ``kv_valid`` keys are valid and
+    the rest masked — the contiguous-prefix special case of ``mask``
+    (FLUX's lane-alignment sequence padding, flux_forward
+    pad_seq_multiple).  It folds into the kernel's always-present
+    alignment mask (``col < kv_len``), so unlike ``mask`` it costs ZERO
+    extra kernel work: no bias array, no (BQ, BK) bias add, and no
+    traced mask operand entering the rollout scan.  Mutually exclusive
+    with ``mask``.
+
     ``block_q=None`` = 512 (measured best at every MMDiT shape: LARGER q
     blocks — one 1536-row block at S=1536, 1024 at S=2560 — were tried in
     round 4 and are 15-32% slower; the grid loses pipeline overlap worth
@@ -568,8 +595,12 @@ def flash_attention(q, k, v, mask=None, block_q=None, block_k=None,
     if block_k is None:
         block_k = _auto_block_k(block_q, S, Sk)
     if mask is None:
+        # no bias add in-kernel (has_bias=False); the zeros array only
+        # satisfies the fixed operand list (4 KB/block DMA, dead in VPU)
         kbias = jnp.zeros((B, Sk), jnp.float32)
+        has_bias = False
     else:
+        assert kv_valid is None, "mask and kv_valid are mutually exclusive"
         m = jnp.asarray(mask)
         if m.ndim == 4:
             assert m.shape[1] == 1 and m.shape[2] == 1, (
@@ -577,5 +608,10 @@ def flash_attention(q, k, v, mask=None, block_q=None, block_k=None,
             m = m[:, 0, 0, :]
         assert m.shape == (B, Sk), (m.shape, (B, Sk))
         kbias = jnp.where(m, 0.0, NEG_INF).astype(jnp.float32)
+        has_bias = True
+    if kv_valid is not None:
+        kv_valid = int(kv_valid)
+        assert 0 < kv_valid <= Sk, (kv_valid, Sk)
     scale = 1.0 / (q.shape[-1] ** 0.5)
-    return _flash(q, k, v, kbias, scale, block_q, block_k, layout)
+    return _flash(q, k, v, kbias, scale, block_q, block_k, layout,
+                  kv_valid, has_bias)

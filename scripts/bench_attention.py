@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--valid", type=int, default=None,
                     help="valid key count < S: run with the model's padded "
                          "key mask (e.g. 2537 of 2560 at the 720px recipe)")
+    ap.add_argument("--valid_mode", choices=["mask", "kv_valid"],
+                    default="kv_valid",
+                    help="how --valid is applied: explicit (B,1,1,S) bool "
+                         "mask (bias-add path) or the static kv_valid "
+                         "prefix count (folds into the alignment mask; "
+                         "the model's path since round 5)")
     args = ap.parse_args()
 
     import bench
@@ -95,8 +101,10 @@ def main():
         ks = jax.random.split(jax.random.key(S), 3)
         q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.bfloat16)
                    for kk in ks)
-        mask = None
-        if args.valid is not None:
+        mask, kv_valid = None, None
+        if args.valid is not None and args.valid_mode == "kv_valid":
+            kv_valid = args.valid
+        elif args.valid is not None:
             # the model's padded-sequence key mask shape: (B, 1, 1, S)
             mask = (jnp.arange(S) < args.valid)[None, None, None, :]
             mask = jnp.broadcast_to(mask, (B, 1, 1, S))
@@ -137,7 +145,8 @@ def main():
             for bk_s in (("auto",) if bq is None else args.block_k.split(",")):
                 bk = None if bk_s in ("full", "auto") else int(bk_s)
                 fn = lambda q, k, v, bq=bq, bk=bk: flash_attention(
-                    q, k, v, mask=mask, block_q=bq, block_k=bk)
+                    q, k, v, mask=mask, kv_valid=kv_valid,
+                    block_q=bq, block_k=bk)
                 row = {"impl": f"pallas bq={bq_s} bk={bk_s}"}
                 row.update(fwd_fields(timed(fn, q, k, v, args.n)))
                 if args.bwd:

@@ -107,6 +107,56 @@ def test_key_mask_matches_xla():
                                    rtol=5e-4, atol=5e-5)
 
 
+def test_kv_valid_matches_mask_and_truncation():
+    """``kv_valid=n`` (static prefix mask, the flux padding path) must
+    equal both the explicit prefix boolean mask and attention over the
+    truncated keys — forward and grads, chunked and full-K, both layouts."""
+    import numpy as np
+
+    B, H, S, D = 2, 2, 96, 32
+    valid = 73  # ragged: exercises masking inside a key block
+    q, k, v = _rand_qkv(jax.random.key(11), B, H, S, D)
+    m4 = (jnp.arange(S) < valid)[None, None, None, :]
+    m4 = jnp.broadcast_to(m4, (B, 1, 1, S))
+
+    for bk in (64, S):  # chunked + full-K(fused-bwd) paths
+        got = flash_attention(q, k, v, kv_valid=valid, block_q=64, block_k=bk)
+        want = flash_attention(q, k, v, mask=m4, block_q=64, block_k=bk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+        g1 = jax.grad(lambda *a: jnp.sum(
+            flash_attention(*a, kv_valid=valid, block_q=64, block_k=bk) ** 2
+        ), argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda *a: jnp.sum(
+            flash_attention(*a, mask=m4, block_q=64, block_k=bk) ** 2
+        ), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5)
+
+    trunc = _xla_attention(q, k[:, :, :valid], v[:, :, :valid])
+    got = flash_attention(q, k, v, kv_valid=valid, block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(trunc),
+                               rtol=2e-4, atol=2e-5)
+
+    # bshd layout + the attention() dispatcher's XLA fallback
+    tr = lambda x: x.transpose(0, 2, 1, 3)
+    got_bshd = flash_attention(tr(q), tr(k), tr(v), kv_valid=valid,
+                               block_q=64, block_k=64, layout="bshd")
+    np.testing.assert_allclose(np.asarray(tr(got_bshd)), np.asarray(trunc),
+                               rtol=2e-4, atol=2e-5)
+    from mixgrpo_tpu.ops.attention import attention
+
+    got_xla = attention(q, k, v, kv_valid=valid, impl="xla")
+    np.testing.assert_allclose(np.asarray(got_xla).astype(np.float32),
+                               np.asarray(trunc).astype(np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # kv_valid == Sk is a no-op (dispatcher drops it)
+    full = attention(q, k, v, kv_valid=S, impl="xla")
+    base = attention(q, k, v, impl="xla")
+    np.testing.assert_allclose(np.asarray(full), np.asarray(base))
+
+
 def test_key_mask_2d_form():
     import numpy as np
 
