@@ -350,10 +350,11 @@ def flux_forward(
         rope_sin = jnp.concatenate(
             [rope_sin, jnp.zeros((npad, rope_sin.shape[-1]), rope_sin.dtype)]
         )
-        # STATIC prefix-valid count: folds into the flash kernel's
-        # alignment mask (col < kv_len) at zero extra kernel cost, and no
-        # traced mask operand enters the block scan (round 5; previously a
-        # (B,1,1,S) bool mask paid a (BQ,BK) bias add in every kernel)
+        # STATIC prefix-valid count: folds into the flash kernels'
+        # col < kv_len comparison, so no traced mask operand enters the
+        # block scan (round 5; measured within ~5% of the bias-add mask
+        # representation at kernel level and neutral at model level —
+        # kept for program hygiene, see flash_attention docstring)
         attn_valid = S_total
 
     x = L.linear(params["x_embedder"], img, dtype)

@@ -56,9 +56,10 @@ def attention(q, k, v, mask=None, impl: str = "auto", layout: str = "bhsd",
     ``mask``: optional (B, 1|H, S, S) or (S, S) boolean, True = attend.
     ``kv_valid``: static int — only the first ``kv_valid`` keys are
     valid (the contiguous-prefix mask of lane-alignment padding); folds
-    into the Pallas kernel's alignment mask at zero extra cost and
-    never enters the traced program as an operand.  Mutually exclusive
-    with ``mask``.
+    into the Pallas kernel's alignment comparison (within ~5% of the
+    bias-mask representation — see flash_attention) and never enters
+    the traced program as an operand.  Mutually exclusive with
+    ``mask``.
     The SP impls (ulysses/ring) operate natively on (B, H, S, D); bshd
     inputs are converted at this boundary (SP is off by default, as in
     the reference).

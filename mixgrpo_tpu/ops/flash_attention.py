@@ -43,7 +43,7 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch, scale,
-                kv_len, block_k, want_lse, has_bias=True):
+                kv_len, block_k, want_lse, has_bias=True, need_kmask=True):
     if want_lse:
         o_ref, lse_ref, m_scr, l_scr, acc_scr = out_and_scratch
     else:
@@ -70,11 +70,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch, scale,
     if has_bias:
         s = s + kbias_ref[...]  # (1, BK) additive key mask (0 or NEG_INF)
 
-    # mask key-side padding (kv_len already folds a static prefix-valid
-    # count — flash_attention(kv_valid=...) — so that case costs NOTHING
-    # beyond this always-present alignment mask)
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    # mask key-side padding (kv_len folds flash_attention's static
+    # kv_valid prefix count).  Statically ELIDED when every key tile is
+    # fully valid (kv_len == padded Sk): the iota+compare+select on the
+    # (BQ, BK) f32 score tile is real VPU work — within-session A/B
+    # @S=2560 B=2 measured ~5% of the kernel
+    # (bench_results/round5/attn_2560_b2_modes.json).
+    if need_kmask:
+        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_scr[:, :1]  # (BQ, 1)
     l_prev = l_scr[:, :1]
@@ -102,7 +106,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch, scale,
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
                 dk_ref, dv_ref, dk_scr, dv_scr, *, scale, kv_len, block_k,
-                block_q, q_len, has_bias=True):
+                block_q, q_len, has_bias=True, need_kmask=True,
+                need_qmask=True):
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
     ki = pl.program_id(1)
@@ -119,12 +124,19 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
     ) * scale  # (BQ, BK)
     if has_bias:
         s = s + kbias_ref[...]
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    valid = jnp.logical_and(col < kv_len, row < q_len)
+    valid = None  # statically elided when every tile is fully valid
+    if need_kmask:
+        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = col < kv_len
+    if need_qmask:
+        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        qv = row < q_len
+        valid = qv if valid is None else jnp.logical_and(valid, qv)
 
     lse = lse_ref[...][:, :1]  # (BQ, 1)
-    p = jnp.where(valid, jnp.exp(s - lse), 0.0)  # (BQ, BK)
+    p = jnp.exp(s - lse)  # (BQ, BK)
+    if valid is not None:
+        p = jnp.where(valid, p, 0.0)
 
     do = do_ref[...]  # (BQ, D)
     dv_scr[:] += jax.lax.dot_general(
@@ -155,7 +167,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
 
 def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
                       dq_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale,
-                      kv_len, block_q, q_len, has_bias=True):
+                      kv_len, block_q, q_len, has_bias=True, need_kmask=True,
+                      need_qmask=True):
     """Single-pass dq/dk/dv for the full-K case (one K block).
 
     With the whole key range resident, each q block's dq is complete in
@@ -180,12 +193,19 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
     ) * scale  # (BQ, BK)
     if has_bias:
         s = s + kbias_ref[...]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    valid = jnp.logical_and(col < kv_len, row < q_len)
+    valid = None  # statically elided when every tile is fully valid
+    if need_kmask:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = col < kv_len
+    if need_qmask:
+        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        qv = row < q_len
+        valid = qv if valid is None else jnp.logical_and(valid, qv)
 
     lse = lse_ref[...][:, :1]  # (BQ, 1)
-    p = jnp.where(valid, jnp.exp(s - lse), 0.0)  # (BQ, BK)
+    p = jnp.exp(s - lse)  # (BQ, BK)
+    if valid is not None:
+        p = jnp.where(valid, p, 0.0)
 
     do = do_ref[...]  # (BQ, D)
     dv_scr[:] += jax.lax.dot_general(
@@ -217,7 +237,8 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
-               dq_ref, dq_scr, *, scale, kv_len, block_k, has_bias=True):
+               dq_ref, dq_scr, *, scale, kv_len, block_k, has_bias=True,
+               need_kmask=True):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -232,9 +253,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
     ) * scale
     if has_bias:
         s = s + kbias_ref[...]
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     lse = lse_ref[...][:, :1]
-    p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
+    p = jnp.exp(s - lse)
+    if need_kmask:
+        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        p = jnp.where(col < kv_len, p, 0.0)
     dp = jax.lax.dot_general(
         do_ref[...], v_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -358,7 +381,7 @@ def _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout,
     grid = (B * H, Sp // bq, Skp // bk)
     kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
                                block_k=bk, want_lse=want_lse,
-                               has_bias=has_bias)
+                               has_bias=has_bias, need_kmask=kv_len < Skp)
     qpick = lambda b, qi, ki: qi
     kpick = lambda b, qi, ki: ki
     out_specs = [_row_spec(layout, H, bq, D, qpick)]
@@ -428,7 +451,8 @@ def _flash_bwd(scale, block_q, block_k, layout, kv_valid, has_bias, res, do):
         # dq/dk/dv together (see _fused_bwd_kernel)
         fused = functools.partial(
             _fused_bwd_kernel, scale=scale, kv_len=kv_len, block_q=bq,
-            q_len=S, has_bias=has_bias,
+            q_len=S, has_bias=has_bias, need_kmask=kv_len < Skp,
+            need_qmask=S < Sp,
         )
         qpick = lambda b, qi: qi
         kpick = lambda b, qi: 0
@@ -469,7 +493,8 @@ def _flash_bwd(scale, block_q, block_k, layout, kv_valid, has_bias, res, do):
 
     dkv_kernel = functools.partial(
         _dkv_kernel, scale=scale, kv_len=kv_len, block_k=bk, block_q=bq,
-        q_len=S, has_bias=has_bias,
+        q_len=S, has_bias=has_bias, need_kmask=kv_len < Skp,
+        need_qmask=S < Sp,
     )
     qpick_kq = lambda b, ki, qi: qi
     kpick_kq = lambda b, ki, qi: ki
@@ -501,7 +526,8 @@ def _flash_bwd(scale, block_q, block_k, layout, kv_valid, has_bias, res, do):
     )(qf, kf, vf, dof, lsef, of, kb)
 
     dq_kernel = functools.partial(_dq_kernel, scale=scale, kv_len=kv_len,
-                                  block_k=bk, has_bias=has_bias)
+                                  block_k=bk, has_bias=has_bias,
+                                  need_kmask=kv_len < Skp)
     qpick_qk = lambda b, qi, ki: qi
     kpick_qk = lambda b, qi, ki: ki
     dq = pl.pallas_call(
@@ -572,11 +598,16 @@ def flash_attention(q, k, v, mask=None, block_q=None, block_k=None,
     ``kv_valid`` (static int): the first ``kv_valid`` keys are valid and
     the rest masked — the contiguous-prefix special case of ``mask``
     (FLUX's lane-alignment sequence padding, flux_forward
-    pad_seq_multiple).  It folds into the kernel's always-present
-    alignment mask (``col < kv_len``), so unlike ``mask`` it costs ZERO
-    extra kernel work: no bias array, no (BQ, BK) bias add, and no
-    traced mask operand entering the rollout scan.  Mutually exclusive
-    with ``mask``.
+    pad_seq_multiple).  It folds into the kernels' ``col < kv_len``
+    alignment comparison: no bias array and no traced mask operand
+    entering the rollout scan.  Measured (round 5, within-session A/B
+    at S=2560 B=2, bench_results/round5/attn_2560_b2_modes.json) the
+    three representations are within ~5%: nomask 1.168 ms / bias-mask
+    1.200 / kv_valid 1.223 — kv_valid's value is program hygiene (one
+    less operand, static semantics), not kernel speed.  When every key
+    tile is fully valid the comparison is statically elided entirely
+    (aligned no-mask calls run a pure matmul+softmax kernel).  Mutually
+    exclusive with ``mask``.
 
     ``block_q=None`` = 512 (measured best at every MMDiT shape: LARGER q
     blocks — one 1536-row block at S=1536, 1024 at S=2560 — were tried in

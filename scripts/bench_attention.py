@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--valid", type=int, default=None,
                     help="valid key count < S: run with the model's padded "
                          "key mask (e.g. 2537 of 2560 at the 720px recipe)")
-    ap.add_argument("--valid_mode", choices=["mask", "kv_valid"],
+    ap.add_argument("--valid_mode", choices=["mask", "kv_valid", "all"],
                     default="kv_valid",
                     help="how --valid is applied: explicit (B,1,1,S) bool "
                          "mask (bias-add path) or the static kv_valid "
@@ -101,13 +101,24 @@ def main():
         ks = jax.random.split(jax.random.key(S), 3)
         q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.bfloat16)
                    for kk in ks)
-        mask, kv_valid = None, None
-        if args.valid is not None and args.valid_mode == "kv_valid":
-            kv_valid = args.valid
-        elif args.valid is not None:
+        def mk_mask(valid):
             # the model's padded-sequence key mask shape: (B, 1, 1, S)
-            mask = (jnp.arange(S) < args.valid)[None, None, None, :]
-            mask = jnp.broadcast_to(mask, (B, 1, 1, S))
+            m = (jnp.arange(S) < valid)[None, None, None, :]
+            return jnp.broadcast_to(m, (B, 1, 1, S))
+
+        # (label, mask, kv_valid) variants measured in THIS session —
+        # "all" runs the three masking modes back-to-back so the
+        # comparison is immune to session-to-session tunnel drift
+        if args.valid is None:
+            modes = [("", None, None)]
+        elif args.valid_mode == "kv_valid":
+            modes = [("", None, args.valid)]
+        elif args.valid_mode == "mask":
+            modes = [("", mk_mask(args.valid), None)]
+        else:  # all
+            modes = [("nomask ", None, None),
+                     ("mask ", mk_mask(args.valid), None),
+                     ("kv_valid ", None, args.valid)]
         flops_fwd = 4 * B * H * S * S * D  # qk^T + pv
         rows = []
 
@@ -144,14 +155,16 @@ def main():
             bq = None if bq_s == "auto" else int(bq_s)
             for bk_s in (("auto",) if bq is None else args.block_k.split(",")):
                 bk = None if bk_s in ("full", "auto") else int(bk_s)
-                fn = lambda q, k, v, bq=bq, bk=bk: flash_attention(
-                    q, k, v, mask=mask, kv_valid=kv_valid,
-                    block_q=bq, block_k=bk)
-                row = {"impl": f"pallas bq={bq_s} bk={bk_s}"}
-                row.update(fwd_fields(timed(fn, q, k, v, args.n)))
-                if args.bwd:
-                    row.update(bwd_fields(timed_bwd(fn, q, k, v, args.n)))
-                rows.append(row)
+                for label, mask, kv_valid in modes:
+                    fn = lambda q, k, v, bq=bq, bk=bk, mask=mask, \
+                        kv_valid=kv_valid: flash_attention(
+                        q, k, v, mask=mask, kv_valid=kv_valid,
+                        block_q=bq, block_k=bk)
+                    row = {"impl": f"pallas {label}bq={bq_s} bk={bk_s}"}
+                    row.update(fwd_fields(timed(fn, q, k, v, args.n)))
+                    if args.bwd:
+                        row.update(bwd_fields(timed_bwd(fn, q, k, v, args.n)))
+                    rows.append(row)
         print(json.dumps({"S": S, "rows": rows}), flush=True)
 
 
