@@ -33,6 +33,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 _LANES = 128
+# The wrapper folds the 1/sqrt(D) softmax scale into q once — an
+# elementwise multiply XLA fuses into the projection/RoPE fusion that
+# produces q — so every score tile arrives pre-scaled.  This removes
+# one full (BQ, BK) f32 VPU traversal per tile from the forward (the
+# `* scale`) and two from the backward (that one plus the `ds * scale`)
+# at zero cost: with q2 = q*scale and s = q2@k^T,
+#   p  = exp(s - m)                      (probabilities unchanged)
+#   h  = p*(dp - delta) = dL/ds          (softmax bwd, no scale factor)
+#   dk = h^T@q2 == scale*(h^T@q)         (exact — q2 carries the scale)
+#   dq2 = h@k; the outer q2 = q*scale multiply's autodiff restores
+#   dq = scale*dq2, so the wrapper applies no correction at all.
+# A full LOG2-domain variant (fold scale*log2e, exp2 everywhere, which
+# would also delete exp's internal *log2e multiply) was measured round 5
+# and is ~50x SLOWER: Mosaic lowers jnp.exp2/lax.exp2 through a slow
+# path while jnp.exp is the fast hardware route (S=1536 B=2 fwd:
+# 11.8 ms exp2 vs 0.415 ms exp(x*ln2) in the same session).  Keep exp.
 
 
 def _interpret() -> bool:
@@ -42,7 +58,7 @@ def _interpret() -> bool:
         return True
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch, scale,
+def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch,
                 kv_len, block_k, want_lse, has_bias=True, need_kmask=True):
     if want_lse:
         o_ref, lse_ref, m_scr, l_scr, acc_scr = out_and_scratch
@@ -62,11 +78,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch, scale,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[...]  # (BQ, D)
+    q = q_ref[...]  # (BQ, D) — pre-scaled by 1/sqrt(D) (see header note)
     k = k_ref[...]  # (BK, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
+    )  # (BQ, BK), pre-scaled scores
     if has_bias:
         s = s + kbias_ref[...]  # (1, BK) additive key mask (0 or NEG_INF)
 
@@ -105,7 +121,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, *out_and_scratch, scale,
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
-                dk_ref, dv_ref, dk_scr, dv_scr, *, scale, kv_len, block_k,
+                dk_ref, dv_ref, dk_scr, dv_scr, *, kv_len, block_k,
                 block_q, q_len, has_bias=True, need_kmask=True,
                 need_qmask=True):
     qi = pl.program_id(2)
@@ -117,11 +133,11 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[...]  # (BQ, D)
+    q = q_ref[...]  # (BQ, D) — pre-scaled by 1/sqrt(D)
     k = k_ref[...]  # (BK, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
+    )  # (BQ, BK), pre-scaled scores
     if has_bias:
         s = s + kbias_ref[...]
     valid = None  # statically elided when every tile is fully valid
@@ -153,7 +169,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
         o_ref[...].astype(jnp.float32) * do.astype(jnp.float32),
         axis=-1, keepdims=True,
     )  # (BQ, 1)
-    ds = p * (dp - delta) * scale
+    # h = p*(dp - delta); no scale factor here — dk = h^T @ (scale*q)
+    # is exactly scale*(h^T @ q) because q arrives pre-scaled (header note)
+    ds = p * (dp - delta)
     dk_scr[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -166,7 +184,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
 
 
 def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
-                      dq_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale,
+                      dq_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
                       kv_len, block_q, q_len, has_bias=True, need_kmask=True,
                       need_qmask=True):
     """Single-pass dq/dk/dv for the full-K case (one K block).
@@ -186,11 +204,11 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[...]  # (BQ, D)
+    q = q_ref[...]  # (BQ, D) — pre-scaled by 1/sqrt(D)
     k = k_ref[...]  # (BK, D) — the full key range
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
+    )  # (BQ, BK), pre-scaled scores
     if has_bias:
         s = s + kbias_ref[...]
     valid = None  # statically elided when every tile is fully valid
@@ -220,7 +238,7 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
         o_ref[...].astype(jnp.float32) * do.astype(jnp.float32),
         axis=-1, keepdims=True,
     )  # (BQ, 1) — see _dkv_kernel
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta)  # h = dL/ds; no scale factor (header note)
     dk_scr[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -237,7 +255,7 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
-               dq_ref, dq_scr, *, scale, kv_len, block_k, has_bias=True,
+               dq_ref, dq_scr, *, kv_len, block_k, has_bias=True,
                need_kmask=True):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -246,11 +264,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[...]
+    q = q_ref[...]  # pre-scaled by 1/sqrt(D)
     k = k_ref[...]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )  # pre-scaled scores
     if has_bias:
         s = s + kbias_ref[...]
     lse = lse_ref[...][:, :1]
@@ -266,7 +284,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
         o_ref[...].astype(jnp.float32) * do_ref[...].astype(jnp.float32),
         axis=-1, keepdims=True,
     )  # (BQ, 1) — see _dkv_kernel
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta)  # h = dL/ds; no scale factor (header note)
     dq_scr[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -274,7 +292,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, kbias_ref,
 
     @pl.when(ki == nk - 1)
     def _():
-        dq_ref[...] = (dq_scr[:] * 1.0).astype(dq_ref.dtype)
+        dq_ref[...] = dq_scr[:].astype(dq_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -363,7 +381,7 @@ def _unprep(x, layout, B, H, S, D):
     return x[:, :S].reshape(B, H, S, D)
 
 
-def _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout,
+def _fwd_impl(q, k, v, kbias, block_q, block_k, layout,
               kv_valid=None, has_bias=True, want_lse=True):
     B, H, S, D = _shape_of(q, layout)
     Sk = _shape_of(k, layout)[2]
@@ -379,7 +397,7 @@ def _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout,
     kb = _pad_to(kbias, Skp, 1)[:, None, :]
 
     grid = (B * H, Sp // bq, Skp // bk)
-    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
+    kernel = functools.partial(_fwd_kernel, kv_len=kv_len,
                                block_k=bk, want_lse=want_lse,
                                has_bias=has_bias, need_kmask=kv_len < Skp)
     qpick = lambda b, qi, ki: qi
@@ -413,22 +431,23 @@ def _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout,
     return (o, res[1][:, :S]) if want_lse else (o, None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def _flash(q, k, v, kbias, scale, block_q, block_k, layout, kv_valid,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(q, k, v, kbias, block_q, block_k, layout, kv_valid,
            has_bias):
-    o, _ = _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout,
+    # q arrives pre-scaled by 1/sqrt(D) (see flash_attention / header)
+    o, _ = _fwd_impl(q, k, v, kbias, block_q, block_k, layout,
                      kv_valid=kv_valid, has_bias=has_bias, want_lse=False)
     return o
 
 
-def _flash_fwd(q, k, v, kbias, scale, block_q, block_k, layout, kv_valid,
+def _flash_fwd(q, k, v, kbias, block_q, block_k, layout, kv_valid,
                has_bias):
-    o, lse = _fwd_impl(q, k, v, kbias, scale, block_q, block_k, layout,
+    o, lse = _fwd_impl(q, k, v, kbias, block_q, block_k, layout,
                        kv_valid=kv_valid, has_bias=has_bias)
     return o, (q, k, v, kbias, o, lse)
 
 
-def _flash_bwd(scale, block_q, block_k, layout, kv_valid, has_bias, res, do):
+def _flash_bwd(block_q, block_k, layout, kv_valid, has_bias, res, do):
     q, k, v, kbias, o, lse = res
     B, H, S, D = _shape_of(q, layout)
     Sk = _shape_of(k, layout)[2]
@@ -450,7 +469,7 @@ def _flash_bwd(scale, block_q, block_k, layout, kv_valid, has_bias, res, do):
         # full-K single block at training shapes: one fused pass computes
         # dq/dk/dv together (see _fused_bwd_kernel)
         fused = functools.partial(
-            _fused_bwd_kernel, scale=scale, kv_len=kv_len, block_q=bq,
+            _fused_bwd_kernel, kv_len=kv_len, block_q=bq,
             q_len=S, has_bias=has_bias, need_kmask=kv_len < Skp,
             need_qmask=S < Sp,
         )
@@ -484,6 +503,8 @@ def _flash_bwd(scale, block_q, block_k, layout, kv_valid, has_bias, res, do):
             ],
             interpret=_interpret(),
         )(qf, kf, vf, dof, lsef, of, kb)
+        # dq here is d/d(q*scale); the wrapper's pre-scale multiply's
+        # autodiff restores dq = scale*dq2.  dk is exact as computed.
         return (
             _unprep(dq, layout, B, H, S, D),
             _unprep(dk, layout, B, H, Sk, D),
@@ -492,7 +513,7 @@ def _flash_bwd(scale, block_q, block_k, layout, kv_valid, has_bias, res, do):
         )
 
     dkv_kernel = functools.partial(
-        _dkv_kernel, scale=scale, kv_len=kv_len, block_k=bk, block_q=bq,
+        _dkv_kernel, kv_len=kv_len, block_k=bk, block_q=bq,
         q_len=S, has_bias=has_bias, need_kmask=kv_len < Skp,
         need_qmask=S < Sp,
     )
@@ -525,7 +546,7 @@ def _flash_bwd(scale, block_q, block_k, layout, kv_valid, has_bias, res, do):
         interpret=_interpret(),
     )(qf, kf, vf, dof, lsef, of, kb)
 
-    dq_kernel = functools.partial(_dq_kernel, scale=scale, kv_len=kv_len,
+    dq_kernel = functools.partial(_dq_kernel, kv_len=kv_len,
                                   block_k=bk, has_bias=has_bias,
                                   need_kmask=kv_len < Skp)
     qpick_qk = lambda b, qi, ki: qi
@@ -643,6 +664,10 @@ def flash_attention(q, k, v, mask=None, block_q=None, block_k=None,
     if kv_valid is not None:
         kv_valid = int(kv_valid)
         assert 0 < kv_valid <= Sk, (kv_valid, Sk)
+    # fold the softmax scale into q once; XLA fuses this multiply into
+    # q's producer (the qkv projection / RoPE fusion), so it is free and
+    # the kernels skip the per-tile (BQ, BK) `* scale` (see header note).
     scale = 1.0 / (q.shape[-1] ** 0.5)
-    return _flash(q, k, v, kbias, scale, block_q, block_k, layout,
+    q = q * jnp.asarray(scale, q.dtype)
+    return _flash(q, k, v, kbias, block_q, block_k, layout,
                   kv_valid, has_bias)
